@@ -1,0 +1,65 @@
+"""Run configuration.
+
+Field-for-field parity with the reference Options struct
+(/root/reference/src/types_structs.rs:22-51) plus TPU-specific execution
+settings that have no reference analog (device batching / mesh controls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Options:
+    # --- Inputs (types_structs.rs:23-24, 40, 42) ---
+    bam_file: str = ""
+    vcf_file: str = ""
+    reference_fasta: str = ""
+    short_bam_file: str = ""
+
+    # --- Filtering (types_structs.rs:28, 30, 43, 49-50) ---
+    mapq_cutoff: int = 15
+    dont_use_supp_aln: bool = False
+    snp_count_filter: int = 100
+    supp_aln_dist_cutoff: int = 40000
+
+    # --- Algorithm (types_structs.rs:25, 29, 33-35, 39, 44-45, 48) ---
+    use_qual_scores: bool = False
+    epsilon: float = 0.04
+    max_number_solns: int = 10
+    snp_density: float = 0.0005
+    max_ploidy: int = 5
+    block_length: int = 15000
+    stopping_heuristic: bool = True
+    ignore_monomorphic: bool = False
+    ploidy_sensitivity: int = 2
+
+    # --- Modes (types_structs.rs:31-32, 37, 41) ---
+    hybrid: bool = False
+    reassign_short: bool = False
+    do_binning: bool = False
+    trim_reads: bool = False
+
+    # --- Output (types_structs.rs:26-27, 36, 46-47) ---
+    gzip: bool = False
+    output_reads: bool = False
+    out_dir: str = "floria_out_dir"
+    overwrite: bool = False
+    num_threads: int = 10
+    list_to_phase: List[str] = dataclasses.field(default_factory=list)
+
+    # --- TPU execution settings (no reference analog) ---
+    # Upper bound on block instances phased per device dispatch.
+    device_batch_size: int = 64
+    # If set, use this many devices for block sharding; None = all local.
+    num_devices: Optional[int] = None
+    # Run device kernels; False forces the pure-host reference path.
+    use_device: bool = True
+
+    def validate(self) -> None:
+        if not (1 <= self.ploidy_sensitivity <= 3):
+            raise ValueError("ploidy sensitivity must be between 1 and 3")
+        if self.max_ploidy < 1:
+            raise ValueError("max ploidy must be >= 1")

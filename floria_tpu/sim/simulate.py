@@ -1,0 +1,169 @@
+"""Synthetic strain-community generator.
+
+Produces BAM + VCF + FASTA triples shaped like the reference's quick-start
+workload (3-strain mock community, README.md:66-75): a reference contig,
+K strain haplotypes differing at planted SNP sites, and error-bearing reads
+sampled from the strains. Used by tests and by bench.py, since the
+reference's binary fixtures are stripped from this snapshot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ingest.fasta import write_fasta
+from . import bamwrite
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclasses.dataclass
+class SimConfig:
+    contig_name: str = "sim_contig"
+    contig_len: int = 100_000
+    num_strains: int = 3
+    num_snps: int = 300
+    coverage_per_strain: float = 12.0
+    read_length: int = 8_000
+    read_length_sd: float = 1_500.0
+    error_rate: float = 0.02
+    base_qual: int = 20
+    paired: bool = False
+    insert_size: int = 400
+    strain_abundances: Optional[Sequence[float]] = None
+    seed: int = 7
+
+
+@dataclasses.dataclass
+class SimTruth:
+    snp_positions: np.ndarray          # 0-based genome positions
+    strain_alleles: np.ndarray         # [num_strains, num_snps] allele index
+    read_strains: Dict[str, int]       # read id -> strain index
+
+
+def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
+    rng = np.random.default_rng(cfg.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ref = _BASES[rng.integers(0, 4, cfg.contig_len)]
+    snp_pos = np.sort(rng.choice(
+        np.arange(50, cfg.contig_len - 50), size=cfg.num_snps,
+        replace=False))
+
+    # Each SNP is biallelic ref/alt; strains carry ref or alt so that at
+    # least one strain differs (otherwise the site would not be in the VCF).
+    shift = rng.integers(1, 4, cfg.num_snps)
+    code_of = np.full(256, -1, np.int64)
+    for i, b in enumerate(_BASES):
+        code_of[b] = i
+    alt = _BASES[(code_of[ref[snp_pos]] + shift) % 4]
+
+    strain_alleles = rng.integers(0, 2, (cfg.num_strains, cfg.num_snps))
+    # Force every site polymorphic across strains when possible.
+    if cfg.num_strains > 1:
+        mono = np.flatnonzero(strain_alleles.min(0) == strain_alleles.max(0))
+        for j in mono:
+            k = rng.integers(0, cfg.num_strains)
+            strain_alleles[k, j] = 1 - strain_alleles[k, j]
+
+    strains = []
+    for k in range(cfg.num_strains):
+        s = ref.copy()
+        alt_sites = strain_alleles[k] == 1
+        s[snp_pos[alt_sites]] = alt[alt_sites]
+        strains.append(s)
+
+    abund = (np.asarray(cfg.strain_abundances, dtype=float)
+             if cfg.strain_abundances is not None
+             else np.ones(cfg.num_strains))
+    abund = abund / abund.sum()
+
+    total_bases = cfg.coverage_per_strain * cfg.num_strains * cfg.contig_len
+    mean_frag = cfg.read_length if not cfg.paired else 2 * cfg.read_length
+    num_reads = max(1, int(total_bases / mean_frag))
+
+    records: List[Tuple[int, bytes]] = []  # (pos, encoded record)
+    read_strains: Dict[str, int] = {}
+    for r in range(num_reads):
+        k = int(rng.choice(cfg.num_strains, p=abund))
+        if cfg.paired:
+            _sim_pair(rng, cfg, strains[k], r, k, records, read_strains)
+        else:
+            _sim_long_read(rng, cfg, strains[k], r, k, records,
+                           read_strains)
+
+    records.sort(key=lambda t: t[0])
+    bam_path = os.path.join(out_dir, "sim.bam")
+    bamwrite.write_bam(bam_path, [(cfg.contig_name, cfg.contig_len)],
+                       [rec for _pos, rec in records])
+
+    fasta_path = os.path.join(out_dir, "sim.fa")
+    write_fasta(fasta_path, {cfg.contig_name: ref.tobytes()})
+
+    vcf_path = os.path.join(out_dir, "sim.vcf")
+    with open(vcf_path, "w") as vf:
+        vf.write("##fileformat=VCFv4.2\n")
+        vf.write(f"##contig=<ID={cfg.contig_name},length={cfg.contig_len}>\n")
+        vf.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for j, p in enumerate(snp_pos):
+            vf.write(f"{cfg.contig_name}\t{p + 1}\t.\t"
+                     f"{chr(ref[p])}\t{chr(alt[j])}\t60\tPASS\t.\n")
+
+    return SimTruth(snp_positions=snp_pos, strain_alleles=strain_alleles,
+                    read_strains=read_strains)
+
+
+def _mutate(rng: np.random.Generator, seq: np.ndarray,
+            error_rate: float) -> np.ndarray:
+    """Substitution errors only (keeps CIGAR a single match op)."""
+    if error_rate <= 0:
+        return seq
+    err = rng.random(len(seq)) < error_rate
+    if not err.any():
+        return seq
+    out = seq.copy()
+    code_of = np.zeros(256, np.int64)
+    for i, b in enumerate(_BASES):
+        code_of[b] = i
+    shift = rng.integers(1, 4, int(err.sum()))
+    out[err] = _BASES[(code_of[out[err]] + shift) % 4]
+    return out
+
+
+def _sim_long_read(rng, cfg: SimConfig, strain: np.ndarray, idx: int,
+                   k: int, records, read_strains) -> None:
+    ln = int(np.clip(rng.normal(cfg.read_length, cfg.read_length_sd),
+                     200, cfg.contig_len))
+    pos = int(rng.integers(0, max(1, cfg.contig_len - ln)))
+    seq = _mutate(rng, strain[pos:pos + ln], cfg.error_rate)
+    name = f"read_{idx}_s{k}"
+    read_strains[name] = k
+    qual = [cfg.base_qual] * len(seq)
+    rec = bamwrite.encode_record(name, 0, 0, pos, 60,
+                                 [(len(seq), "M")], seq.tobytes(), qual)
+    records.append((pos, rec))
+
+
+def _sim_pair(rng, cfg: SimConfig, strain: np.ndarray, idx: int, k: int,
+              records, read_strains) -> None:
+    rl = cfg.read_length
+    span = 2 * rl + cfg.insert_size
+    pos = int(rng.integers(0, max(1, cfg.contig_len - span)))
+    name = f"pair_{idx}_s{k}"
+    read_strains[name] = k
+    seq1 = _mutate(rng, strain[pos:pos + rl], cfg.error_rate)
+    pos2 = pos + rl + cfg.insert_size
+    seq2 = _mutate(rng, strain[pos2:pos2 + rl], cfg.error_rate)
+    qual = [cfg.base_qual] * rl
+    rec1 = bamwrite.encode_record(
+        name, 1 | 64 | 32, 0, pos, 60, [(rl, "M")], seq1.tobytes(), qual,
+        next_tid=0, next_pos=pos2, tlen=span)
+    rec2 = bamwrite.encode_record(
+        name, 1 | 128 | 16, 0, pos2, 60, [(rl, "M")], seq2.tobytes(), qual,
+        next_tid=0, next_pos=pos, tlen=-span)
+    records.append((pos, rec1))
+    records.append((pos2, rec2))

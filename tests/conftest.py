@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-device sharding paths are
+exercised without TPU hardware. Must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from floria_tpu.sim.simulate import SimConfig, simulate  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_sim(tmp_path_factory):
+    """A small 2-strain long-read community used across tests."""
+    out = tmp_path_factory.mktemp("sim_small")
+    cfg = SimConfig(contig_len=30_000, num_strains=2, num_snps=120,
+                    coverage_per_strain=10.0, read_length=4_000,
+                    read_length_sd=500.0, error_rate=0.01, seed=3)
+    truth = simulate(cfg, str(out))
+    return cfg, truth, str(out)

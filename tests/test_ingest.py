@@ -1,0 +1,184 @@
+"""Ingest layer tests: BGZF, BAM codec round-trip, VCF parsing, fragment
+extraction semantics (filters, allele matching, pair merging)."""
+
+import numpy as np
+import pytest
+
+from floria_tpu.ingest import bam as bamlib
+from floria_tpu.ingest import bgzf, vcf
+from floria_tpu.ingest.fragments import (alignment_passed_check,
+                                         combine_frags, frag_from_record,
+                                         get_frags_from_bam)
+from floria_tpu.options import Options
+from floria_tpu.sim import bamwrite
+from floria_tpu.sim.simulate import SimConfig, simulate
+
+
+def test_bgzf_roundtrip():
+    payload = bytes(range(256)) * 1000
+    comp = bgzf.compress(payload)
+    assert bgzf.decompress(comp) == payload
+
+
+def test_bam_roundtrip(tmp_path):
+    rec = bamwrite.encode_record("r1", 0, 0, 100, 60, [(8, "M")],
+                                 b"ACGTACGT", [30] * 8)
+    path = str(tmp_path / "t.bam")
+    bamwrite.write_bam(path, [("c1", 1000)], [rec])
+    bf = bamlib.BamFile(path)
+    assert bf.references == ["c1"]
+    recs = bf.fetch("c1")
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.qname == "r1" and r.pos == 100 and r.mapq == 60
+    assert r.seq.tobytes() == b"ACGTACGT"
+    assert list(r.qual) == [30] * 8
+    assert r.reference_end() == 108
+
+
+def test_aligned_snp_pairs_with_indels(tmp_path):
+    # read: 4M 2I 3M 2D 4M starting at ref pos 10
+    # ref coverage: 10-13 (q0-3), 14-16 (q6-8), 17-18 deleted, 19-22 (q9-12)
+    rec = bamwrite.encode_record(
+        "r", 0, 0, 10, 60, [(4, "M"), (2, "I"), (3, "M"), (2, "D"),
+                            (4, "M")], b"AAAACCGGGTTTT", [20] * 13)
+    path = str(tmp_path / "i.bam")
+    bamwrite.write_bam(path, [("c", 100)], [rec])
+    r = bamlib.BamFile(path).fetch("c")[0]
+    snps = np.array([11, 15, 17, 20], dtype=np.int64)
+    qpos, rpos = bamlib.aligned_snp_pairs(r, snps)
+    # SNP 17 falls in the deletion -> no pair.
+    assert list(rpos) == [11, 15, 20]
+    assert list(qpos) == [1, 7, 10]
+
+
+def test_vcf_parse(tmp_path):
+    p = tmp_path / "t.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "c1\t5\t.\tA\tT\t60\tPASS\t.\n"
+        "c1\t9\t.\tAC\tT\t60\tPASS\t.\n"    # not a SNP (multibase)
+        "c1\t12\t.\tG\tN\t60\tPASS\t.\n"    # non-ACGT
+        "c1\t20\t.\tC\tG,T\t60\tPASS\t.\n"  # triallelic SNP
+        "c2\t3\t.\tT\tA\t60\tPASS\t.\n")
+    prof = vcf.read_vcf(str(p))
+    c1 = prof.get("c1")
+    assert list(c1.genome_pos) == [4, 19]
+    assert c1.pos_allele_map[4] == b"AT"
+    assert c1.pos_allele_map[19] == b"CGT"
+    assert c1.pos_to_snp == {4: 1, 19: 2}
+    assert prof.get("c2").num_snps == 1
+
+
+def test_alignment_passed_check():
+    # primary below cutoff
+    assert alignment_passed_check(0, 10, True, True, 15) == (False, False)
+    # primary above cutoff
+    assert alignment_passed_check(0, 20, True, True, 15) == (True, False)
+    # secondary rejected
+    assert alignment_passed_check(256, 60, True, True, 15) == (False, False)
+    # duplicate rejected (errors mask)
+    assert alignment_passed_check(1024, 60, True, True, 15) == (False, False)
+    # paired supplementary always rejected
+    assert alignment_passed_check(2048 | 64, 60, True, True, 15) == (
+        False, True)
+    # long-read supplementary needs mapq 60
+    assert alignment_passed_check(2048, 59, True, True, 15) == (False, True)
+    assert alignment_passed_check(2048, 60, True, True, 15) == (True, True)
+    # supplementary with use_supplementary=False rejected
+    assert alignment_passed_check(2048, 60, False, True, 15) == (False, True)
+
+
+def _contig_vcf(positions, alleles):
+    gp = np.asarray(positions, dtype=np.int64)
+    return vcf.ContigVcf(
+        genome_pos=gp,
+        pos_allele_map={int(p): a for p, a in zip(positions, alleles)},
+        pos_to_snp={int(p): i + 1 for i, p in enumerate(positions)})
+
+
+def test_frag_from_record(tmp_path):
+    # SNPs at 12 (A/T) and 14 (C/G); read bases T at 12, C at 14.
+    cv = _contig_vcf([12, 14, 16], [b"AT", b"CG", b"AC"])
+    rec = bamwrite.encode_record("r", 0, 0, 10, 60, [(10, "M")],
+                                 b"AATACAGGGG", [25] * 10)
+    path = str(tmp_path / "f.bam")
+    bamwrite.write_bam(path, [("c", 100)], [rec])
+    r = bamlib.BamFile(path).fetch("c")[0]
+    frag = frag_from_record(r, cv, 0)
+    # SNP counters are 1-based: T at snp1 -> allele 1, C at snp2 -> allele 0,
+    # G at snp3 matches neither A nor C -> dropped.
+    assert frag.seq_dict == {1: 1, 2: 0}
+    assert frag.qual_dict == {1: 25, 2: 25}
+    assert frag.first_position == 1 and frag.last_position == 2
+    assert frag.snp_pos_to_seq_pos == {1: (0, 2), 2: (0, 4)}
+    assert frag.first_pos_base == 10 and frag.last_pos_base == 20
+
+
+def test_combine_pairs():
+    cv = _contig_vcf([10, 20, 30], [b"AT", b"CG", b"AC"])
+    opts = Options()
+    f1 = _mk_frag("p", 0, {1: 0, 2: 1}, paired=True)
+    f2 = _mk_frag("p", 1, {2: 0, 3: 1}, paired=True)
+    out = combine_frags({"p": [(64 | 1, f1), (128 | 1, f2)]}, cv, opts)
+    assert len(out) == 1
+    m = out[0]
+    # Mate 2 overwrites the shared SNP 2.
+    assert m.seq_dict == {1: 0, 2: 0, 3: 1}
+    assert m.first_position == 1 and m.last_position == 3
+    assert m.snp_pos_to_seq_pos[3][0] == 1  # moved to pair index 1
+
+
+def test_combine_supplementary_distance_cutoff():
+    cv = _contig_vcf([100, 200, 90_000], [b"AT", b"CG", b"AC"])
+    opts = Options(supp_aln_dist_cutoff=40_000)
+    prim = _mk_frag("s", 0, {1: 0, 2: 1}, paired=False)
+    supp = _mk_frag("s", 1, {3: 1}, paired=False)
+    out = combine_frags({"s": [(0, prim), (2048, supp)]}, cv, opts)
+    # Gap 90_000 - 200 > 40_000 -> primary only.
+    assert len(out) == 1 and out[0].seq_dict == {1: 0, 2: 1}
+
+    prim2 = _mk_frag("s2", 0, {1: 0, 2: 1}, paired=False)
+    supp2 = _mk_frag("s2", 1, {3: 1}, paired=False)
+    opts2 = Options(supp_aln_dist_cutoff=200_000)
+    out2 = combine_frags({"s2": [(0, prim2), (2048, supp2)]}, cv, opts2)
+    assert len(out2) == 1 and out2[0].seq_dict == {1: 0, 2: 1, 3: 1}
+
+
+def test_only_supplementary_dropped():
+    cv = _contig_vcf([100], [b"AT"])
+    supp = _mk_frag("x", 0, {1: 1}, paired=False)
+    out = combine_frags({"x": [(2048, supp)]}, cv, Options())
+    assert out == []
+
+
+def _mk_frag(name, counter, sites, paired):
+    from floria_tpu.frag import Frag
+    f = Frag(name, counter, paired)
+    for i, (snp, allele) in enumerate(sites.items()):
+        f.add_site(snp, allele, 30, 0, i)
+    f.seq_string[0] = b"ACGT"
+    f.qual_string[0] = b"IIII"
+    return f
+
+
+def test_end_to_end_extraction(small_sim):
+    cfg, truth, out = small_sim
+    main_bam = bamlib.BamFile(out + "/sim.bam")
+    prof = vcf.read_vcf(out + "/sim.vcf")
+    cv = prof.get(cfg.contig_name)
+    assert cv.num_snps == cfg.num_snps
+    with_snps, without = get_frags_from_bam(
+        main_bam, None, cv, Options(), None, cfg.contig_name)
+    assert len(with_snps) > 50
+    # Each fragment's alleles should mostly agree with its strain of origin.
+    agree = total = 0
+    for f in with_snps[:200]:
+        k = truth.read_strains[f.id]
+        for snp, allele in f.seq_dict.items():
+            total += 1
+            # strain allele 0 = REF (allele index 0), 1 = ALT (index 1)
+            agree += int(truth.strain_alleles[k][snp - 1] == allele)
+    assert total > 0
+    assert agree / total > 0.95
