@@ -1,0 +1,186 @@
+"""Local phasing engine: per-block ploidy sweep.
+
+Drives the device beam-search kernel over every (block, ploidy) instance of
+a contig, refines each result with UPEM, and applies the reference's two
+stopping rules to pick the local strain count
+(graph_processing.rs:103-304).
+
+TPU-first deviation from the reference control flow: the reference sweeps
+ploidies sequentially per block and early-exits (graph_processing.rs:132).
+We phase ALL (block, ploidy) instances as shape-bucketed device batches and
+then replay the stopping rules on the completed MEC vectors — the chosen
+ploidy and partitions are identical because each sweep step only reads MEC
+values of earlier ploidies, never whether later ones ran.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import constants
+from ..kernels import beam as beam_kernel
+from ..kernels.blocktensor import (BlockTensor, pack_block,
+                                   partition_counts, partition_cover,
+                                   round_up)
+from ..kernels.stats import mec_stats_epsilon
+from ..kernels.upem import optimize_clustering
+from ..options import Options
+from .blocks import find_reads_in_interval, get_range_with_lengths
+
+
+@dataclasses.dataclass
+class LocalBlockResult:
+    """Chosen partition of one block."""
+    block_index: int
+    snp_range: Tuple[int, int]
+    best_ploidy: int
+    # read counter-id sets per part (may be empty), parts in part order
+    part_frag_ids: List[np.ndarray]
+    mec_vector: np.ndarray
+
+
+def mec_threshold(ploidy: int, epsilon: float, sensitivity: int) -> float:
+    """MEC-ratio stopping threshold (graph_processing.rs:205-222)."""
+    if sensitivity == 1:
+        denom = 1.0 + 1.0 / (ploidy ** 0.5 + 1.0)
+    elif sensitivity == 2:
+        denom = 1.0 + 1.0 / (ploidy ** 1.0 + 1.0 / 3.0)
+    else:
+        denom = 1.0 + 1.0 / (ploidy ** 1.0 + 1.0)
+    return 1.0 / (1.0 - epsilon) / denom
+
+
+def pick_best_ploidy(mec_vector: np.ndarray, expected_errors: np.ndarray,
+                     options: Options) -> int:
+    """Replay of the sweep's stopping logic (graph_processing.rs:198-252).
+
+    mec_vector[p-1] is the total MEC-epsilon error at ploidy p;
+    expected_errors[p-1] = (#alleles at ploidy p) * epsilon.
+    """
+    max_ploidy = len(mec_vector)
+    best = 1
+    for ploidy in range(1, max_ploidy + 1):
+        best = ploidy
+        m = mec_vector[ploidy - 1]
+        if ploidy > 1:
+            prev = mec_vector[ploidy - 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = m / prev  # inf or nan on zero, like Rust f64
+            threshold = mec_threshold(ploidy, options.epsilon,
+                                      options.ploidy_sensitivity)
+            if not (ratio < threshold):  # nan compares False, like Rust
+                if options.stopping_heuristic:
+                    best = ploidy - 1
+                    break
+        if m < expected_errors[ploidy - 1]:
+            break
+    return best
+
+
+# --- shape bucketing -------------------------------------------------------
+
+def _bucket_reads(r: int) -> int:
+    return max(16, 1 << (r - 1).bit_length())
+
+
+def _bucket_sites(s: int) -> int:
+    return round_up(max(s, 64), 64)
+
+
+def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
+                        options: Options) -> List[LocalBlockResult]:
+    """Phase every SNP block of a contig; returns one result per non-empty
+    block, in block order (empty blocks are dropped, like the None return
+    at graph_processing.rs:129-131)."""
+    ranges = get_range_with_lengths(snp_to_genome_pos, options.block_length,
+                                    options.block_length // 3,
+                                    options.snp_density)
+    blocks: List[Tuple[int, BlockTensor]] = []
+    for j, rng in enumerate(ranges):
+        reads = find_reads_in_interval(rng[0], rng[1], frags)
+        bt = pack_block(reads, rng)
+        if bt is not None:
+            blocks.append((j, bt))
+    if not blocks:
+        return []
+
+    assignments = phase_instances(
+        blocks, options, ploidies=range(2, options.max_ploidy + 1))
+
+    results = []
+    for j, bt in blocks:
+        R = bt.num_reads
+        mec_vector = np.zeros(options.max_ploidy)
+        expected = np.zeros(options.max_ploidy)
+        per_ploidy_assignment: Dict[int, np.ndarray] = {}
+        for ploidy in range(1, options.max_ploidy + 1):
+            if ploidy == 1:
+                assignment = np.zeros(R, dtype=np.int32)
+            else:
+                assignment = assignments[(j, ploidy)]
+            _score, assignment = optimize_clustering(
+                bt, assignment, ploidy, options.epsilon)
+            per_ploidy_assignment[ploidy] = assignment
+            counts = partition_counts(bt, assignment, ploidy,
+                                      weighted=False)
+            cover = partition_cover(bt, assignment, ploidy)
+            stats = mec_stats_epsilon(counts, cover, options.epsilon)
+            bad = stats[:, 1].sum()
+            good = stats[:, 0].sum()
+            mec_vector[ploidy - 1] = bad
+            expected[ploidy - 1] = (good + bad) * options.epsilon
+
+        best_ploidy = pick_best_ploidy(mec_vector, expected, options)
+        assignment = per_ploidy_assignment[best_ploidy]
+        part_ids = [bt.frag_ids[assignment == p]
+                    for p in range(best_ploidy)]
+        results.append(LocalBlockResult(
+            block_index=j, snp_range=bt.snp_range, best_ploidy=best_ploidy,
+            part_frag_ids=part_ids, mec_vector=mec_vector))
+    return results
+
+
+def phase_instances(blocks: List[Tuple[int, BlockTensor]],
+                    options: Options,
+                    ploidies) -> Dict[Tuple[int, int], np.ndarray]:
+    """Run the beam kernel for every (block, ploidy) instance, batched by
+    (ploidy, padded reads, padded sites) shape bucket.
+
+    Returns {(block_index, ploidy): assignment[num_reads]}.
+    """
+    groups: Dict[Tuple[int, int, int], List[Tuple[int, BlockTensor]]] = {}
+    for ploidy in ploidies:
+        for j, bt in blocks:
+            key = (ploidy, _bucket_reads(bt.num_reads),
+                   _bucket_sites(bt.num_sites))
+            groups.setdefault(key, []).append((j, bt))
+
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for (ploidy, r_pad, s_pad), members in groups.items():
+        G = len(members)
+        alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
+        weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
+        nreads = np.zeros(G, dtype=np.int32)
+        for g, (_j, bt) in enumerate(members):
+            r, s = bt.alleles.shape
+            alleles[g, :r, :s] = bt.alleles
+            weights[g, :r, :s] = bt.weights
+            nreads[g] = bt.num_reads
+        eps = np.full(G, options.epsilon, dtype=np.float32)
+        parents, parts, scores, live = jax_to_np(
+            beam_kernel.beam_search_batch(
+                alleles, weights, nreads, eps, ploidy,
+                options.max_number_solns))
+        for g, (j, bt) in enumerate(members):
+            out[(j, ploidy)] = beam_kernel.traceback(
+                parents[g], parts[g], scores[g], live[g], bt.num_reads,
+                ploidy)
+    return out
+
+
+def jax_to_np(arrays):
+    return tuple(np.asarray(a) for a in arrays)

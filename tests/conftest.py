@@ -6,11 +6,19 @@ exercised without TPU hardware. Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The interpreter may have pre-registered a TPU PJRT plugin via
+# sitecustomize (which also pre-imports jax), so plain env defaults are not
+# enough: force the CPU backend through jax.config before any backend
+# initialization happens.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,184 @@
+"""Kernel tests: scores, distances, MEC stats, beam search vs the exact
+host oracle, UPEM refinement."""
+
+import math
+
+import numpy as np
+import pytest
+
+import oracle
+from floria_tpu import constants
+from floria_tpu.frag import Frag
+from floria_tpu.kernels import beam as beam_kernel
+from floria_tpu.kernels.blocktensor import (pack_block, partition_counts,
+                                            partition_cover)
+from floria_tpu.kernels.scores import (binom_tail_jnp, binom_tail_np,
+                                       log_sum_exp_np)
+from floria_tpu.kernels.stats import (distance_matrix_eps,
+                                      distance_read_hap_eps,
+                                      mec_stats_epsilon)
+from floria_tpu.kernels.upem import optimize_clustering
+from floria_tpu.options import Options
+from floria_tpu.phase.local import pick_best_ploidy, phase_instances
+
+
+def test_binom_tail_matches_oracle():
+    cases = [(10, 2, 0.05, 0.25), (10.9, 2.7, 0.05, 0.25), (0, 0, 0.1, 1.0),
+             (5, 5, 0.02, 0.25), (7, 0, 0.02, 0.25), (100, 3, 0.01, 0.25)]
+    for n, k, p, d in cases:
+        got = float(binom_tail_np(n, k, p, d))
+        want = oracle.binom_tail(n, k, p, d)
+        assert got == pytest.approx(want, rel=1e-9), (n, k, p, d)
+        got32 = float(binom_tail_jnp(float(n), float(k), p, d))
+        assert got32 == pytest.approx(want, rel=1e-4)
+
+
+def test_log_sum_exp():
+    xs = np.array([-700.0, -701.0, -702.0])
+    got = float(log_sum_exp_np(xs))
+    m = xs.max()
+    want = m + math.log(np.exp(xs - m).sum())
+    assert got == pytest.approx(want)
+
+
+def _mk_frag(counter, sites):
+    f = Frag(f"r{counter}", counter, False)
+    for snp, (allele, qual) in sites.items():
+        f.add_site(snp, allele, qual, 0, 0)
+    f.freeze()
+    return f
+
+
+def _random_frags(rng, num_reads, num_snps, ploidy, eps=0.03,
+                  span=12) -> list:
+    strains = rng.integers(0, 2, (ploidy, num_snps))
+    frags = []
+    for i in range(num_reads):
+        k = rng.integers(0, ploidy)
+        start = int(rng.integers(1, max(2, num_snps - span)))
+        end = min(num_snps, start + span)
+        sites = {}
+        for snp in range(start, end + 1):
+            allele = int(strains[k, snp - 1])
+            if rng.random() < eps:
+                allele = 1 - allele
+            qual = int(rng.integers(10, 40))
+            sites[snp] = (allele, qual)
+        frags.append(_mk_frag(i, sites))
+    frags.sort(key=Frag.sort_key)
+    for i, f in enumerate(frags):
+        f.counter_id = i
+    return frags
+
+
+def test_distance_eps_matches_oracle():
+    rng = np.random.default_rng(0)
+    frags = _random_frags(rng, 40, 30, 2)
+    bt = pack_block(frags, (1, 30))
+    R = bt.num_reads
+    assignment = np.array([i % 2 for i in range(R)], dtype=np.int32)
+    counts = partition_counts(bt, assignment, 2, weighted=True)
+    reads = [oracle.frag_to_read(f) for f in frags]
+    haps = oracle.hap_from_partition(reads, list(assignment), 2,
+                                     weighted=True)
+    # Oracle haps are keyed by global SNP; shift to local columns.
+    same_m, diff_m = distance_matrix_eps(bt.alleles[:R], bt.weights[:R],
+                                         counts, 0.03)
+    for r in range(R):
+        for p in range(2):
+            s, d = oracle.dist_eps(reads[r], haps[p], 0.03)
+            # local column = snp - lo; counts built on local columns
+            assert same_m[r, p] == pytest.approx(s, abs=1e-4)
+            assert diff_m[r, p] == pytest.approx(d, abs=1e-4)
+            s1, d1 = distance_read_hap_eps(bt.alleles[r], bt.weights[r],
+                                           counts[p], 0.03)
+            assert s1 == pytest.approx(s, abs=1e-4)
+            assert d1 == pytest.approx(d, abs=1e-4)
+
+
+def test_mec_stats_matches_oracle():
+    rng = np.random.default_rng(1)
+    frags = _random_frags(rng, 30, 25, 2)
+    bt = pack_block(frags, (1, 25))
+    R = bt.num_reads
+    assignment = np.array([i % 2 for i in range(R)], dtype=np.int32)
+    reads = [oracle.frag_to_read(f) for f in frags]
+    for weighted in (True, False):
+        counts = partition_counts(bt, assignment, 2, weighted=weighted)
+        cover = partition_cover(bt, assignment, 2)
+        got = mec_stats_epsilon(counts, cover, 0.03)
+        haps = oracle.hap_from_partition(reads, list(assignment), 2,
+                                         weighted=weighted)
+        want = oracle.mec_stats_epsilon(haps, 0.03)
+        for p in range(2):
+            assert got[p, 0] == pytest.approx(want[p][0], abs=1e-4)
+            assert got[p, 1] == pytest.approx(want[p][1], abs=1e-4)
+
+
+@pytest.mark.parametrize("ploidy,seed", [(2, 2), (3, 5), (2, 9)])
+def test_beam_kernel_matches_oracle(ploidy, seed):
+    rng = np.random.default_rng(seed)
+    frags = _random_frags(rng, 60, 40, ploidy)
+    reads = [oracle.frag_to_read(f) for f in frags]
+    want = oracle.beam_search(reads, ploidy, 0.03, beam_width=10)
+
+    bt = pack_block(frags, (1, 40))
+    opts = Options(epsilon=0.03, max_number_solns=10)
+    got = phase_instances([(0, bt)], opts, ploidies=[ploidy])[(0, ploidy)]
+
+    # Partitions should agree up to part relabeling; compare as co-clustering
+    want = np.asarray(want)
+    got = np.asarray(got)
+    co_want = want[:, None] == want[None, :]
+    co_got = got[:, None] == got[None, :]
+    agreement = (co_want == co_got).mean()
+    assert agreement > 0.97, agreement
+
+    # And the device MEC score should be at least as good as the oracle's.
+    def mec_of(asg):
+        haps = oracle.hap_from_partition(reads, list(asg), ploidy, True)
+        return sum(e for _b, e in oracle.mec_stats_epsilon(haps, 0.03))
+    assert mec_of(got) <= mec_of(want) * 1.02 + 1e-6
+
+
+def test_upem_improves_and_matches_oracle():
+    rng = np.random.default_rng(4)
+    ploidy = 2
+    frags = _random_frags(rng, 50, 30, ploidy)
+    reads = [oracle.frag_to_read(f) for f in frags]
+    bt = pack_block(frags, (1, 30))
+    R = bt.num_reads
+    # start from a random (bad) assignment
+    assignment = rng.integers(0, ploidy, R).astype(np.int32)
+    score0 = -sum(e for _b, e in oracle.mec_stats_epsilon(
+        oracle.hap_from_partition(reads, list(assignment), ploidy, True),
+        0.03))
+    _score, refined = optimize_clustering(bt, assignment, ploidy, 0.03)
+    want = oracle.upem_optimize(reads, list(assignment), ploidy, 0.03)
+    score_got = -sum(e for _b, e in oracle.mec_stats_epsilon(
+        oracle.hap_from_partition(reads, list(refined), ploidy, True),
+        0.03))
+    score_want = -sum(e for _b, e in oracle.mec_stats_epsilon(
+        oracle.hap_from_partition(reads, want, ploidy, True), 0.03))
+    assert score_got >= score0
+    assert score_got == pytest.approx(score_want, rel=1e-6)
+
+
+def test_pick_best_ploidy_rules():
+    opts = Options(epsilon=0.05, ploidy_sensitivity=2,
+                   stopping_heuristic=True)
+    # Strong MEC drop from 1->2, flat afterwards: should pick 2.
+    mec = np.array([100.0, 20.0, 19.0, 18.5, 18.4])
+    expected = np.zeros(5)
+    assert pick_best_ploidy(mec, expected, opts) == 2
+    # MEC below expected errors at ploidy 1: stop at 1.
+    mec2 = np.array([5.0, 4.0, 3.0, 2.0, 1.0])
+    exp2 = np.full(5, 10.0)
+    assert pick_best_ploidy(mec2, exp2, opts) == 1
+    # No stopping heuristic: only the error threshold stops the sweep.
+    opts2 = Options(epsilon=0.05, stopping_heuristic=False)
+    assert pick_best_ploidy(mec, expected, opts2) == 5
+    # Zero MEC at ploidy 1 -> nan ratio -> heuristic fires at ploidy 2.
+    mec3 = np.array([0.0, 0.0, 0.0, 0.0, 0.0])
+    exp3 = np.zeros(5)
+    assert pick_best_ploidy(mec3, exp3, opts) == 1
