@@ -1,0 +1,150 @@
+"""Per-contig pipeline orchestration.
+
+Top-level flow mirrors the reference driver (bin/floria.rs:204-391):
+ingest -> (hybrid polish) -> (monomorphic filter) -> block phasing (device
+batched) -> hap-graph -> LP flow -> widest paths -> final assignment ->
+SNP-less gap reads -> outputs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import constants, fragops
+from .frag import Frag, sort_and_renumber
+from .graph.edges import update_hap_graph
+from .graph.flow import solve_lp_graph
+from .graph.hapnode import HapNode, assign_ids, build_hap_node
+from .graph.paths import get_disjoint_paths
+from .ingest import bam as bamlib
+from .ingest.fasta import FastaFile
+from .ingest.fragments import get_frags_from_bam
+from .ingest.vcf import VcfProfile, read_vcf
+from .options import Options
+from .out.writers import write_outputs
+from .phase.local import LocalBlockResult, phase_contig_blocks
+from .post.finalize import process_reads_for_final_parts
+from .post.snpless import frags_in_snpless_gaps
+
+log = logging.getLogger("floria_tpu")
+
+
+def run(options: Options) -> None:
+    options.validate()
+    t0 = time.time()
+    log.info("Preprocessing VCF/Reference")
+    contigs = bamlib.get_contigs_to_phase(options.bam_file)
+    main_bam = bamlib.BamFile(options.bam_file)
+    short_bam = (bamlib.BamFile(options.short_bam_file)
+                 if options.short_bam_file else None)
+    vcf_profile = read_vcf(options.vcf_file, contigs)
+    fasta = (FastaFile(options.reference_fasta)
+             if options.reference_fasta else None)
+
+    warn_first = True
+    for contig in contigs:
+        if options.list_to_phase and contig not in options.list_to_phase:
+            continue
+        if (contig not in vcf_profile
+                or vcf_profile.get(contig).num_snps
+                < options.snp_count_filter):
+            if warn_first:
+                log.warning(
+                    "A contig (%s) is not present or has < %d variants.",
+                    contig, options.snp_count_filter)
+            warn_first = False
+            continue
+        run_contig(contig, main_bam, short_bam, vcf_profile, fasta,
+                   options)
+    log.info("Total time taken is %.2fs", time.time() - t0)
+
+
+def run_contig(contig: str, main_bam: bamlib.BamFile,
+               short_bam: Optional[bamlib.BamFile],
+               vcf_profile: VcfProfile, fasta: Optional[FastaFile],
+               options: Options) -> None:
+    t0 = time.time()
+    cv = vcf_profile.get(contig)
+    ref_seq = fasta.fetch(contig) if fasta is not None else None
+    log.info("Reading and realigning inputs for contig %s.", contig)
+    all_frags, frags_without_snps = get_frags_from_bam(
+        main_bam, short_bam, cv, options, ref_seq, contig)
+    log.info("Number of reads passing filtering: %d", len(all_frags))
+    if not all_frags:
+        return
+
+    contig_out_dir = os.path.join(options.out_dir, contig)
+    if os.path.exists(contig_out_dir) and options.overwrite:
+        shutil.rmtree(contig_out_dir, ignore_errors=True)
+    os.makedirs(contig_out_dir, exist_ok=True)
+
+    all_frags = sort_and_renumber(all_frags)
+    for f in all_frags:
+        f.freeze()
+    for f in frags_without_snps:
+        f.freeze()
+
+    short_frags: List[Frag] = []
+    if options.hybrid:
+        final_frags, short_frags = fragops.hybrid_correction(all_frags)
+        final_frags = sort_and_renumber(final_frags)
+    else:
+        final_frags = all_frags
+
+    if options.ignore_monomorphic:
+        final_frags = fragops.remove_monomorphic_allele(final_frags,
+                                                        options.epsilon)
+
+    snp_to_genome_pos = cv.genome_pos
+    log.info("Reading inputs, realigning time taken %.2fs",
+             time.time() - t0)
+
+    phasing_t = time.time()
+    results = phase_contig_blocks(final_frags, snp_to_genome_pos, options)
+    log.info("Phasing time taken %.2fs", time.time() - phasing_t)
+    if not results:
+        return
+
+    # Hap-graph: one column per phased block, one node per part
+    # (graph_processing.rs:276-304, 306-323).
+    hap_graph: List[List[HapNode]] = []
+    for res in results:
+        column = len(hap_graph)
+        block_nodes = []
+        for row, ids in enumerate(res.part_frag_ids):
+            node = build_hap_node(final_frags, ids, res.snp_range, column,
+                                  row)
+            block_nodes.append(node)
+        hap_graph.append(block_nodes)
+    assign_ids(hap_graph)
+    update_hap_graph(hap_graph, final_frags)
+
+    lp_t = time.time()
+    flow_vec = solve_lp_graph(hap_graph)
+    log.info("Flow solved in time %.2fs", time.time() - lp_t)
+
+    haplogroups = get_disjoint_paths(hap_graph, flow_vec)
+
+    # Hybrid short frags join the same id space after the long frags.
+    combined = list(final_frags)
+    for f in short_frags:
+        f.counter_id = len(combined)
+        combined.append(f)
+
+    parts, ranges = process_reads_for_final_parts(
+        haplogroups, combined, short_frags, options)
+
+    snpless = frags_in_snpless_gaps(ranges, snp_to_genome_pos,
+                                    frags_without_snps,
+                                    options.block_length, final_frags)
+
+    contig_len = len(ref_seq) if ref_seq is not None else (
+        int(snp_to_genome_pos[-1]) + 1)
+    write_outputs(parts, ranges, contig_out_dir, contig, combined,
+                  snp_to_genome_pos, options, snpless, contig_len)

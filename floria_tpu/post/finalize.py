@@ -1,0 +1,207 @@
+"""Final haplogroup massage: unique read assignment, broken-group
+separation, canonical ordering.
+
+Mirrors part_block_manip.rs:27-288. Reads appearing in several haplogroups
+(block overlap) are first removed everywhere, then re-added one at a time
+to the argmin-(diff+1, part id) candidate against the *current* depleted
+consensus — the re-add order in the reference follows hashmap iteration;
+we fix ascending read id for determinism. Haplogroups with internal
+zero-coverage SNP gaps are split at the gaps.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from .. import constants
+from ..frag import Frag
+from ..graph.paths import Haplogroup
+from ..options import Options
+
+
+class _PartState:
+    """Haplogroup consensus counts supporting remove/re-add
+    (utils_frags.rs:465-490 add/remove_read_from_block)."""
+
+    def __init__(self, frags: Sequence[Frag], parts: List[Set[int]]):
+        self.frags = frags
+        # sparse per-part: snp -> [A] float counts
+        self.counts: List[Dict[int, np.ndarray]] = []
+        for ids in parts:
+            c: Dict[int, np.ndarray] = {}
+            for fid in ids:
+                f = frags[fid]
+                for p, a, w in zip(f.snps, f.alleles, f.weights):
+                    site = c.get(int(p))
+                    if site is None:
+                        site = np.zeros(constants.MAX_ALLELES)
+                        c[int(p)] = site
+                    site[a] += w
+            self.counts.append(c)
+
+    def remove(self, fid: int, part: int) -> None:
+        c = self.counts[part]
+        f = self.frags[fid]
+        for p, a, w in zip(f.snps, f.alleles, f.weights):
+            site = c.get(int(p))
+            if site is None:
+                site = np.zeros(constants.MAX_ALLELES)
+                c[int(p)] = site
+            if site[a] != 0.0:
+                site[a] -= w
+            if site[a] <= 0.0:
+                site[a] = 0.0
+
+    def add(self, fid: int, part: int) -> None:
+        c = self.counts[part]
+        f = self.frags[fid]
+        for p, a, w in zip(f.snps, f.alleles, f.weights):
+            site = c.get(int(p))
+            if site is None:
+                site = np.zeros(constants.MAX_ALLELES)
+                c[int(p)] = site
+            site[a] += w
+
+    def distance(self, fid: int, part: int,
+                 epsilon: float) -> Tuple[float, float]:
+        """(same, diff) with the epsilon-empty rules
+        (utils_frags.rs:32-75)."""
+        c = self.counts[part]
+        f = self.frags[fid]
+        same = diff = 0.0
+        for p, a, w in zip(f.snps, f.alleles, f.weights):
+            site = c.get(int(p))
+            if site is None or not site.any():
+                diff += epsilon
+                continue
+            if site[a] == site.max():
+                same += w
+            else:
+                diff += w
+        return same, diff
+
+
+def process_reads_for_final_parts(
+        haplogroups: List[Haplogroup], frags: Sequence[Frag],
+        short_frags: Sequence[Frag], options: Options) -> Tuple[
+            List[Set[int]], List[Tuple[int, int]]]:
+    """part_block_manip.rs:174-274. Returns (parts as read-id sets, SNP
+    ranges), sorted by range."""
+    parts: List[Set[int]] = [set(int(i) for i in h.frag_ids)
+                             for h in haplogroups]
+    ranges: List[Tuple[int, int]] = [h.snp_range for h in haplogroups]
+    state = _PartState(frags, parts)
+
+    read_to_parts: Dict[int, List[int]] = {}
+    for i, ids in enumerate(parts):
+        for fid in ids:
+            read_to_parts.setdefault(fid, []).append(i)
+
+    for fid, part_ids in read_to_parts.items():
+        for i in part_ids:
+            parts[i].discard(fid)
+            state.remove(fid, i)
+    for fid in sorted(read_to_parts):
+        part_ids = read_to_parts[fid]
+        best = None
+        best_key = None
+        for i in sorted(part_ids):
+            same, diff = state.distance(fid, i, options.epsilon)
+            key = (diff + 1.0, i, same)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = i
+        parts[best].add(fid)
+        state.add(fid, best)
+
+    if constants.SEPARATE_BROKEN_HAPLOGROUPS:
+        separate_broken_haplogroups(parts, ranges, frags)
+
+    if options.reassign_short and short_frags:
+        _reassign_short(parts, ranges, state, short_frags, options)
+
+    order = sorted(range(len(parts)), key=lambda i: ranges[i])
+    return [parts[i] for i in order], [ranges[i] for i in order]
+
+
+def separate_broken_haplogroups(parts: List[Set[int]],
+                                ranges: List[Tuple[int, int]],
+                                frags: Sequence[Frag]) -> None:
+    """Split haplogroups at internal zero-coverage SNP gaps
+    (part_block_manip.rs:27-98). Originals are emptied in place (their
+    range rows kept), splits appended."""
+    all_breaks = []
+    for i in range(len(ranges)):
+        ordered = sorted(parts[i],
+                         key=lambda fid: frags[fid].first_position)
+        latest = 0
+        breaks = []
+        for fid in ordered:
+            f = frags[fid]
+            if latest != 0 and f.first_position > latest:
+                if ranges[i][0] <= latest < ranges[i][1]:
+                    breaks.append(latest)
+            if f.last_position > latest:
+                latest = f.last_position
+        if breaks:
+            all_breaks.append((i, breaks))
+
+    new_parts: List[Set[int]] = []
+    new_ranges: List[Tuple[int, int]] = []
+    for i, breaks in all_breaks:
+        ordered = sorted(parts[i],
+                         key=lambda fid: frags[fid].first_position)
+        spot_index = 0
+        break_start = ranges[i][0]
+        end_spot = breaks[0]
+        current: Set[int] = set()
+        for fid in ordered:
+            if frags[fid].last_position <= end_spot:
+                current.add(fid)
+            else:
+                # Close the segment; the closing read itself is dropped,
+                # matching the reference (part_block_manip.rs:68-84).
+                new_parts.append(current)
+                new_ranges.append((break_start, end_spot))
+                break_start = end_spot + 1
+                spot_index += 1
+                end_spot = (breaks[spot_index]
+                            if spot_index != len(breaks)
+                            else np.iinfo(np.int64).max)
+                current = set()
+        new_parts.append(current)
+        new_ranges.append((break_start, ranges[i][1]))
+
+    for i, _breaks in all_breaks:
+        parts[i] = set()
+    parts.extend(new_parts)
+    ranges.extend(new_ranges)
+
+
+def _reassign_short(parts, ranges, state: _PartState, short_frags,
+                    options: Options) -> None:
+    """Hybrid-mode short read re-attachment
+    (part_block_manip.rs:235-270): a short fragment joins every candidate
+    haplogroup tied at the best quantized (diff, same) score.
+
+    Precondition: short fragments must be renumbered into the same
+    counter-id space as `state.frags` (the pipeline appends them after the
+    long fragments)."""
+    for f in short_frags:
+        candidates: Dict[Tuple[int, int], List[int]] = {}
+        for i in range(len(parts)):
+            a, b = ranges[i]
+            inter = (a <= f.first_position <= b) or (
+                a <= f.last_position <= b)
+            if not inter:
+                continue
+            same, diff = state.distance(f.counter_id, i, options.epsilon)
+            key = (int(diff * 10.0 + 1.0), int(same * 10.0 + 1.0))
+            candidates.setdefault(key, []).append(i)
+        if not candidates:
+            continue
+        best_key = min(candidates, key=lambda k: k[0] / k[1])
+        for i in candidates[best_key]:
+            parts[i].add(f.counter_id)

@@ -1,0 +1,135 @@
+"""Haplogroup quality scoring (HAPQ) and coverage/error statistics.
+
+part_block_manip.rs:454-620 and utils_frags.rs:596-700. HAPQ combines an
+overlap-similarity penalty (how much a haplogroup resembles overlapping
+ones), a read-count factor, and a log length factor, capped at 60.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+
+from .. import constants
+from ..frag import Frag
+
+
+def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
+                          left_snp: int, right_snp: int) -> Tuple[
+                              float, float, float, float]:
+    """(cov, err, total_err, total_support) over [left_snp, right_snp].
+
+    Unweighted allele counts; cov = mean support over nonzero sites; err =
+    (support - consensus) / support (utils_frags.rs:596-657). The
+    reference's max tracking is iteration-order dependent
+    (utils_frags.rs:620-623 compares against the running sum); we compute
+    the intended per-site maximum.
+    """
+    S = right_snp - left_snp + 1
+    counts = np.zeros((S, constants.MAX_ALLELES))
+    for fid in frag_ids:
+        f = frags[int(fid)]
+        sel = (f.snps >= left_snp) & (f.snps <= right_snp)
+        np.add.at(counts, (f.snps[sel] - left_snp, f.alleles[sel]), 1.0)
+    support = counts.sum(axis=-1)
+    maxc = counts.max(axis=-1)
+    nonzero = support > 0
+    total_support = float(support.sum())
+    total_err = float((support - maxc).sum())
+    n_nonzero = int(nonzero.sum())
+    cov = total_support / n_nonzero if n_nonzero else 0.0
+    err = total_err / total_support if total_support else float("nan")
+    return cov, err, total_err, total_support
+
+
+def _consensus_map(frags: Sequence[Frag],
+                   frag_ids) -> Dict[int, Tuple[int, np.ndarray]]:
+    """snp -> (consensus allele, counts[A]) phred-weighted, full range."""
+    acc: Dict[int, np.ndarray] = {}
+    for fid in frag_ids:
+        f = frags[int(fid)]
+        for p, a, w in zip(f.snps, f.alleles, f.weights):
+            site = acc.get(int(p))
+            if site is None:
+                site = np.zeros(constants.MAX_ALLELES)
+                acc[int(p)] = site
+            site[a] += w
+    return {p: (int(c.argmax()), c) for p, c in acc.items()}
+
+
+def overlap_percent(x1: int, x2: int, y1: int, y2: int) -> float:
+    inter = max(min(x2 - y1 + 1, y2 - x1 + 1), 0)
+    p = inter / (x2 - x1 + 1)
+    return min(p, 1.0)
+
+
+def find_overlapping(ranges: List[Tuple[int, int]],
+                     ol_cutoff: float) -> Dict[int, List[Tuple[int,
+                                                               float]]]:
+    """index -> [(other index, overlap fraction)] for interval pairs that
+    intersect (half-open [start, stop) like rust-lapper) with fraction
+    above the cutoff (part_block_manip.rs:454-515)."""
+    out: Dict[int, List[Tuple[int, float]]] = {}
+    for i, (s1, e1) in enumerate(ranges):
+        for j, (s2, e2) in enumerate(ranges):
+            if i == j:
+                continue
+            if s2 < e1 and e2 > s1:  # lapper intersect on [start, stop)
+                p = overlap_percent(s1, e1, s2, e2)
+                if p > ol_cutoff:
+                    out.setdefault(i, []).append((j, p))
+    return out
+
+
+def get_hapq(parts: List[Set[int]], ranges: List[Tuple[int, int]],
+             frags: Sequence[Frag], snp_to_genome_pos: np.ndarray,
+             block_length: int) -> Tuple[List[int], List[float], float]:
+    """(hapqs, relative errors, avg_err) — part_block_manip.rs:517-620."""
+    total_covs = []
+    errs = []
+    weight = 0.0
+    error = 0.0
+    for i, ids in enumerate(parts):
+        _cov, err, total_err, total_cov = errors_cov_from_frags(
+            frags, ids, ranges[i][0], ranges[i][1])
+        weight += total_cov
+        error += total_err
+        total_covs.append(total_cov)
+        errs.append(err)
+    avg_err = error / weight if weight else float("nan")
+
+    consensus = [_consensus_map(frags, ids) for ids in parts]
+    overlaps = find_overlapping(ranges, 0.05)
+    hapqs: List[int] = []
+    purities: List[float] = []
+    for i in range(len(parts)):
+        max_penalty = 0.0
+        for (j, ol) in overlaps.get(i, []):
+            same = diff = 0.0
+            for p, (cons1, _c1) in consensus[i].items():
+                other = consensus[j].get(p)
+                if other is None:
+                    continue
+                if cons1 == other[0]:
+                    same += 1.0
+                else:
+                    diff += 1.0
+            dist = diff / (same + diff) if (same + diff) else 1.0
+            if ol * (1.0 - dist) > max_penalty:
+                max_penalty = ol * (1.0 - dist)
+        if parts[i]:
+            base_range = (int(snp_to_genome_pos[ranges[i][1] - 1])
+                          - int(snp_to_genome_pos[ranges[i][0] - 1]))
+        else:
+            base_range = 0
+        t1 = constants.HAPQ_CONSTANT * (1.0 - max_penalty)
+        t2 = min(1.0, len(parts[i]) / 3.0)
+        t3 = max(0.0, math.log(base_range / block_length + 1.0))
+        hapq = int(t1 * t2 * t3)
+        if len(parts[i]) == 1:
+            hapq = 0
+        hapqs.append(min(hapq, 60))
+        purities.append(errs[i] / avg_err if avg_err else float("nan"))
+    return hapqs, purities, avg_err

@@ -1,0 +1,143 @@
+"""End-to-end pipeline tests on simulated communities: output files
+exist, have the right formats, and the phasing recovers planted strains."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from floria_tpu.options import Options
+from floria_tpu.pipeline import run
+from floria_tpu.sim.simulate import SimConfig, simulate
+
+
+def _run_pipeline(sim_dir, out_dir, cfg, **kw):
+    opts = Options(
+        bam_file=os.path.join(sim_dir, "sim.bam"),
+        vcf_file=os.path.join(sim_dir, "sim.vcf"),
+        reference_fasta=os.path.join(sim_dir, "sim.fa"),
+        out_dir=str(out_dir), epsilon=kw.pop("epsilon", 0.02),
+        block_length=kw.pop("block_length", 5000),
+        snp_count_filter=10, overwrite=True, **kw)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "contig_ploidy_info.tsv"), "w") as f:
+        from floria_tpu.constants import CONTIG_PLOIDY_HEADER
+        f.write(CONTIG_PLOIDY_HEADER)
+    run(opts)
+    return opts
+
+
+def _parse_vartigs(path):
+    out = []
+    with open(path) as f:
+        lines = [l.rstrip("\n") for l in f]
+    for i in range(0, len(lines) - 1, 2):
+        header, seq = lines[i], lines[i + 1]
+        assert header.startswith(">HAP")
+        fields = dict(kv.split(":", 1) for kv in header.split("\t")[1:])
+        out.append((fields, seq))
+    return out
+
+
+def _parse_haplosets(path):
+    groups = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">HAP"):
+                groups.append((line, []))
+            elif line:
+                groups[-1][1].append(line.split("\t")[0])
+    return groups
+
+
+@pytest.fixture(scope="module")
+def e2e(tmp_path_factory):
+    sim_dir = tmp_path_factory.mktemp("e2e_sim")
+    cfg = SimConfig(contig_len=40_000, num_strains=2, num_snps=160,
+                    coverage_per_strain=12.0, read_length=5_000,
+                    read_length_sd=800.0, error_rate=0.01, seed=11)
+    truth = simulate(cfg, str(sim_dir))
+    out_dir = tmp_path_factory.mktemp("e2e_out")
+    opts = _run_pipeline(str(sim_dir), str(out_dir), cfg)
+    return cfg, truth, str(sim_dir), str(out_dir), opts
+
+
+def test_outputs_exist(e2e):
+    cfg, truth, sim_dir, out_dir, opts = e2e
+    cdir = os.path.join(out_dir, cfg.contig_name)
+    for name in (f"{cfg.contig_name}.vartigs", "vartig_info.txt",
+                 f"{cfg.contig_name}.haplosets",
+                 "reads_without_snps.tsv"):
+        assert os.path.exists(os.path.join(cdir, name)), name
+    ploidy_tsv = os.path.join(out_dir, "contig_ploidy_info.tsv")
+    lines = open(ploidy_tsv).read().splitlines()
+    assert len(lines) == 2 and lines[1].startswith(cfg.contig_name)
+
+
+def test_vartig_format_and_accuracy(e2e):
+    cfg, truth, sim_dir, out_dir, opts = e2e
+    cdir = os.path.join(out_dir, cfg.contig_name)
+    vartigs = _parse_vartigs(
+        os.path.join(cdir, f"{cfg.contig_name}.vartigs"))
+    assert vartigs, "no vartigs emitted"
+    # Each vartig's alleles should match one planted strain closely over
+    # its covered positions.
+    accuracies = []
+    spans = []
+    for fields, seq in vartigs:
+        m = re.match(r"(\d+)-(\d+)", fields["SNPRANGE"])
+        left, right = int(m.group(1)), int(m.group(2))
+        assert len(seq) == right - left + 1
+        best_acc = 0.0
+        for k in range(cfg.num_strains):
+            agree = total = 0
+            for i, ch in enumerate(seq):
+                if ch == "?":
+                    continue
+                total += 1
+                agree += int(int(ch) == truth.strain_alleles[k][
+                    left - 1 + i])
+            if total:
+                best_acc = max(best_acc, agree / total)
+        accuracies.append(best_acc)
+        spans.append(right - left + 1)
+    weighted = np.average(accuracies, weights=spans)
+    assert weighted > 0.95, (accuracies, spans)
+
+
+def test_haploset_strain_purity(e2e):
+    cfg, truth, sim_dir, out_dir, opts = e2e
+    cdir = os.path.join(out_dir, cfg.contig_name)
+    groups = _parse_haplosets(
+        os.path.join(cdir, f"{cfg.contig_name}.haplosets"))
+    assert groups
+    # Reads inside one haploset should mostly share a strain.
+    purities = []
+    sizes = []
+    for _header, read_ids in groups:
+        if len(read_ids) < 3:
+            continue
+        strains = [truth.read_strains[r] for r in read_ids]
+        top = max(np.bincount(strains))
+        purities.append(top / len(strains))
+        sizes.append(len(strains))
+    assert purities
+    assert np.average(purities, weights=sizes) > 0.9, purities
+
+
+def test_three_strain_recovery(tmp_path):
+    cfg = SimConfig(contig_len=24_000, num_strains=3, num_snps=120,
+                    coverage_per_strain=15.0, read_length=6_000,
+                    read_length_sd=500.0, error_rate=0.01, seed=23)
+    sim_dir = tmp_path / "sim3"
+    truth = simulate(cfg, str(sim_dir))
+    out_dir = tmp_path / "out3"
+    _run_pipeline(str(sim_dir), str(out_dir), cfg, epsilon=0.015)
+    cdir = os.path.join(str(out_dir), cfg.contig_name)
+    groups = _parse_haplosets(
+        os.path.join(cdir, f"{cfg.contig_name}.haplosets"))
+    big = [g for g in groups if len(g[1]) >= 5]
+    # Expect to find at least 3 substantial haplogroups (one per strain).
+    assert len(big) >= 3
