@@ -1,0 +1,122 @@
+"""Device mesh & sharded block phasing.
+
+Parallelism model (SURVEY.md §2.3): SNP-block instances are embarrassingly
+parallel until the hap-graph join, so the batch axis of the beam kernel is
+sharded over a 1-D ('block',) mesh with jax.sharding + shard_map — the TPU
+analog of the reference's rayon loop over blocks
+(graph_processing.rs:345-362). The only cross-shard communication is the
+reduction of per-block summaries at the join (psum/all_gather over ICI),
+mirroring the reference's process_chunks + update_hap_graph join.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..kernels import beam as beam_kernel
+
+
+def make_block_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), ("block",))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
+                        weights: np.ndarray, num_reads: np.ndarray,
+                        epsilon: np.ndarray, ploidy: int,
+                        beam_width: int) -> Tuple[jax.Array, jax.Array,
+                                                  jax.Array, jax.Array]:
+    """Beam-search a batch of block instances sharded over the mesh.
+
+    The batch (leading) axis is padded to a multiple of the mesh size and
+    split across devices; each device scans its local shard. Returns
+    host-side numpy results trimmed to the original batch size.
+    """
+    n_dev = mesh.devices.size
+    G = alleles.shape[0]
+    G_pad = pad_to_multiple(G, n_dev)
+    if G_pad != G:
+        pad = G_pad - G
+        alleles = np.concatenate(
+            [alleles, np.full((pad,) + alleles.shape[1:], -1,
+                              dtype=alleles.dtype)])
+        weights = np.concatenate(
+            [weights, np.zeros((pad,) + weights.shape[1:],
+                               dtype=weights.dtype)])
+        num_reads = np.concatenate(
+            [num_reads, np.zeros(pad, dtype=num_reads.dtype)])
+        epsilon = np.concatenate(
+            [epsilon, np.full(pad, 0.01, dtype=epsilon.dtype)])
+
+    fn = _sharded_beam_fn(mesh, ploidy, beam_width)
+    sharding = NamedSharding(mesh, P("block"))
+    args = [jax.device_put(a, sharding)
+            for a in (alleles, weights, num_reads, epsilon)]
+    parents, parts, scores, live = fn(*args)
+    return (np.asarray(parents)[:G], np.asarray(parts)[:G],
+            np.asarray(scores)[:G], np.asarray(live)[:G])
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_beam_fn(mesh: Mesh, ploidy: int, beam_width: int):
+    local = jax.vmap(functools.partial(
+        beam_kernel._beam_search_single, ploidy=ploidy,
+        beam_width=beam_width,
+        max_alleles=beam_kernel.constants.MAX_ALLELES))
+
+    spec = P("block")
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec),
+                       out_specs=(spec, spec, spec, spec),
+                       check_vma=False)
+    def run(alleles, weights, num_reads, epsilon):
+        return local(alleles, weights, num_reads, epsilon)
+
+    return jax.jit(run)
+
+
+def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
+    """The framework's full sharded 'step': phase the local shard of block
+    instances, then reduce per-block summary statistics across the mesh
+    (the cross-block join uses these summaries; psum rides ICI).
+
+    Returns a jitted fn(alleles, weights, num_reads, epsilon) ->
+    (parts [G, R, B], total_mec []).
+    """
+    local = jax.vmap(functools.partial(
+        beam_kernel._beam_search_single, ploidy=ploidy,
+        beam_width=beam_width,
+        max_alleles=beam_kernel.constants.MAX_ALLELES))
+    spec = P("block")
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, spec, spec, spec),
+                       out_specs=(spec, P()),
+                       check_vma=False)
+    def step(alleles, weights, num_reads, epsilon):
+        _parents, parts, scores, live = local(alleles, weights,
+                                              num_reads, epsilon)
+        best = jnp.min(jnp.where(live, scores, jnp.inf), axis=1)
+        best = jnp.where(jnp.isfinite(best), best, 0.0)
+        total = jax.lax.psum(jnp.sum(best), "block")
+        return parts, total
+
+    return jax.jit(step)

@@ -171,10 +171,9 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
             weights[g, :r, :s] = bt.weights
             nreads[g] = bt.num_reads
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        parents, parts, scores, live = jax_to_np(
-            beam_kernel.beam_search_batch(
-                alleles, weights, nreads, eps, ploidy,
-                options.max_number_solns))
+        parents, parts, scores, live = _dispatch_beam(
+            alleles, weights, nreads, eps, ploidy,
+            options.max_number_solns, options)
         for g, (j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
                 parents[g], parts[g], scores[g], live[g], bt.num_reads,
@@ -184,3 +183,21 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
 
 def jax_to_np(arrays):
     return tuple(np.asarray(a) for a in arrays)
+
+
+def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
+                   options: Options):
+    """Single-device jit+vmap, or shard_map over a ('block',) mesh when
+    several devices are available."""
+    import jax
+
+    n_dev = len(jax.devices())
+    if options.num_devices is not None:
+        n_dev = min(n_dev, options.num_devices)
+    if n_dev > 1:
+        from ..parallel.mesh import beam_search_sharded, make_block_mesh
+        mesh = make_block_mesh(n_dev)
+        return beam_search_sharded(mesh, alleles, weights, nreads, eps,
+                                   ploidy, beam_width)
+    return jax_to_np(beam_kernel.beam_search_batch(
+        alleles, weights, nreads, eps, ploidy, beam_width))
