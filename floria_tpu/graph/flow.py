@@ -102,5 +102,8 @@ def _solve(ae: np.ndarray, conservation_rows: List[np.ndarray]) -> (
 
 
 def _solve_native(ae, conservation_rows):
-    from . import simplex_native
-    return simplex_native.solve(ae, conservation_rows)
+    from .. import native
+    out = native.solve_flow(ae, conservation_rows)
+    if out is None:
+        raise RuntimeError("no LP solver available (scipy or native)")
+    return out

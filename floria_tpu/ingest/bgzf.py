@@ -41,6 +41,13 @@ def read_file(path: str) -> bytes:
         raw = fh.read()
     if raw[:2] != b"\x1f\x8b":
         return raw  # uncompressed (e.g. SAM-adjacent text passthrough)
+    try:
+        from .. import native
+        out = native.bgzf_inflate(raw)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - native layer is optional
+        pass
     return decompress(raw)
 
 

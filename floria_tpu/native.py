@@ -1,0 +1,90 @@
+"""ctypes bridge to the native (C++) runtime components.
+
+The shared library is built lazily from native/ with make on first use and
+cached; every consumer has a pure-Python fallback, so absence of a
+toolchain never breaks the framework.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("floria_tpu")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfloria_native.so")
+_lib = None
+_tried = False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError) as e:
+            log.debug("native build unavailable: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        log.debug("native load failed: %s", e)
+        return None
+    lib.floria_bgzf_inflate.restype = ctypes.c_int64
+    lib.floria_bgzf_inflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.floria_solve_flow.restype = ctypes.c_int32
+    lib.floria_solve_flow.argtypes = [
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    _lib = lib
+    return _lib
+
+
+def bgzf_inflate(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = lib.floria_bgzf_inflate(data, len(data), None, 0)
+    if size < 0:
+        return None
+    out = ctypes.create_string_buffer(size)
+    got = lib.floria_bgzf_inflate(data, len(data), out, size)
+    if got != size:
+        return None
+    return out.raw
+
+
+def solve_flow(ae: np.ndarray,
+               conservation_rows) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    E = len(ae)
+    ae = np.ascontiguousarray(ae, dtype=np.float64)
+    if conservation_rows:
+        cons = np.ascontiguousarray(np.stack(conservation_rows),
+                                    dtype=np.float64)
+        ncons = cons.shape[0]
+        cons_ptr = cons.ctypes.data_as(ctypes.c_void_p)
+    else:
+        ncons = 0
+        cons_ptr = None
+    x = np.zeros(E, dtype=np.float64)
+    rc = lib.floria_solve_flow(E, ae, ncons, cons_ptr, x)
+    if rc != 0:
+        return None
+    return x
