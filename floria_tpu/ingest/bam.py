@@ -44,11 +44,11 @@ ERRORS_MASK = 1796
 
 class BamRecord:
     __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar", "seq",
-                 "qual", "tlen")
+                 "qual", "tlen", "raw")
 
     def __init__(self, qname: str, flag: int, tid: int, pos: int, mapq: int,
                  cigar: np.ndarray, seq: np.ndarray, qual: np.ndarray,
-                 tlen: int):
+                 tlen: int, raw: bytes = b""):
         self.qname = qname
         self.flag = flag
         self.tid = tid
@@ -58,6 +58,7 @@ class BamRecord:
         self.seq = seq      # uint8 ASCII bases
         self.qual = qual    # uint8 raw phred (no +33)
         self.tlen = tlen
+        self.raw = raw      # full record body (without block_size prefix)
 
     def cigar_ops(self) -> Tuple[np.ndarray, np.ndarray]:
         return (self.cigar & 0xF).astype(np.int64), (self.cigar >> 4).astype(
@@ -125,9 +126,10 @@ class BamFile:
             p += nbytes
             qual = np.frombuffer(data, dtype=np.uint8, count=l_seq,
                                  offset=p).copy()
+            raw = data[off + 4:off + 4 + block_size]
             off += 4 + block_size
             yield BamRecord(qname, flag, tid, pos, mapq, cigar, seq, qual,
-                            tlen)
+                            tlen, raw)
 
     def records_by_contig(self) -> Dict[int, List[BamRecord]]:
         if self._by_tid is None:

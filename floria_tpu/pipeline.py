@@ -130,6 +130,10 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
     log.info("Flow solved in time %.2fs", time.time() - lp_t)
 
     haplogroups = get_disjoint_paths(hap_graph, flow_vec)
+    if options.do_binning:
+        from .post.binning import bin_haplogroups
+        haplogroups = bin_haplogroups(haplogroups, cv,
+                                      options.block_length)
 
     # Hybrid short frags join the same id space after the long frags.
     combined = list(final_frags)
