@@ -3,19 +3,25 @@
 Reimplements the reference's per-block beam search
 (global_clustering.rs:10-208) as a dense JAX program:
 
-- a beam slot's state is the part-wise allele count tensor [P, S, A]
-  (the HapBlock) plus its cumulative MEC score;
+- a beam slot's state is the part-wise allele count tensor [P, A, S]
+  (the HapBlock) plus its cumulative MEC score; the SNP axis S is the
+  minor (lane) dimension so tiles map onto the VPU without padding waste;
 - one lax.scan step inserts one read: distances of the read against every
-  (beam, part) pair are masked reductions; the binomial tail + log-sum-exp
-  posterior prunes branches; a single lax.top_k replaces the BinaryHeap;
-- the whole thing vmaps over a batch of block instances, which is where the
-  TPU win comes from — the reference parallelizes over blocks with rayon
-  (graph_processing.rs:345-362), we batch them onto the VPU.
+  (beam, part) pair are masked reductions over S; the binomial tail +
+  log-sum-exp posterior prunes branches; a single lax.top_k replaces the
+  BinaryHeap;
+- the scan runs in two phases matching the reference's beam widening
+  (global_clustering.rs:50-55): the first 25 reads keep ploidy*W beam
+  slots, a transition step selects the top W, and the remaining reads
+  scan only W slots — a ~P-fold saving on the long tail;
+- the whole thing vmaps over a batch of block instances, which is where
+  the TPU win comes from — the reference parallelizes over blocks with
+  rayon (graph_processing.rs:345-362), we batch them onto the VPU.
 
 Truncation note: the reference prunes haplotype positions left of the
 current read start when copying blocks (types_structs.rs:327-376). Since
-reads are inserted sorted by start and every read's own positions are at or
-after the previous read's start, truncation can never change any later
+reads are inserted sorted by start and every read's own positions are at
+or after the previous read's start, truncation can never change any later
 distance computation, so the kernel keeps full (untruncated) counts.
 Consequences that do depend on truncation — duplicate-block dedup
 (global_clustering.rs:122-127) and broken-block bookkeeping — affect only
@@ -30,7 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,27 +48,93 @@ from .scores import binom_tail_jnp, log_sum_exp_jnp
 INF = jnp.float32(jnp.inf)
 
 
+class BeamResult(NamedTuple):
+    """Per-phase traceback records + final beam state.
+
+    warm_parents/parts cover reads [0, T1) over B1 = ploidy*W slots;
+    main_parents/parts cover reads [T1, R) over W slots (the first main
+    step's parents index into the B1 warm slots). scores/live describe
+    the final beam (width W when a main phase exists, else B1).
+    """
+    warm_parents: jax.Array   # [G, T1, B1]
+    warm_parts: jax.Array     # [G, T1, B1]
+    main_parents: jax.Array   # [G, R - T1, W]
+    main_parts: jax.Array     # [G, R - T1, W]
+    scores: jax.Array         # [G, B_final]
+    live: jax.Array           # [G, B_final]
+
+
 @functools.partial(jax.jit, static_argnames=("ploidy", "beam_width",
                                              "max_alleles"))
 def beam_search_batch(alleles: jax.Array, weights: jax.Array,
                       num_reads: jax.Array, epsilon: jax.Array,
                       ploidy: int, beam_width: int,
-                      max_alleles: int = constants.MAX_ALLELES) -> Tuple[
-                          jax.Array, jax.Array, jax.Array, jax.Array]:
+                      max_alleles: int = constants.MAX_ALLELES
+                      ) -> BeamResult:
     """Phase a batch of block instances at a fixed ploidy.
 
     alleles  [G, R, S] int8 (-1 = uncovered / padding)
     weights  [G, R, S] float32
     num_reads [G] int32 — live reads per instance (rest are padding rows)
     epsilon  [G] float32 — per-contig error rate
-
-    Returns (parents [G, R, B], parts [G, R, B], scores [G, B],
-    live [G, B]) with B = ploidy * beam_width beam slots.
     """
     fn = jax.vmap(functools.partial(
         _beam_search_single, ploidy=ploidy, beam_width=beam_width,
         max_alleles=max_alleles))
-    return fn(alleles, weights, num_reads, epsilon)
+    return BeamResult(*fn(alleles, weights, num_reads, epsilon))
+
+
+def _step(counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
+          width, ploidy, out_slots):
+    """Insert read t into every live beam; keep the best `width` of the
+    top `out_slots` candidates. counts: [B, P, A, S]."""
+    B = counts.shape[0]
+    P = ploidy
+    cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
+    div = jnp.float32(constants.DIV_FACTOR)
+    valid = t < num_reads
+
+    maxc = counts.max(axis=2)                               # [B, P, S]
+    at = (counts * oh_t[None, None]).sum(axis=2)            # [B, P, S]
+    empty = maxc == 0.0
+    cov = a_cov[None, None, :]
+    w = w_t[None, None, :]
+    same = (w * (cov & ~empty & (at == maxc))).sum(-1)      # [B, P]
+    diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
+            + eps * (cov & empty).sum(-1))
+    pval = binom_tail_jnp(same + diff, diff, eps, div)      # [B, P]
+    lse = log_sum_exp_jnp(pval, axis=-1)                    # [B]
+    keep = (pval - lse[:, None]) > cutoff
+    cand = jnp.where(keep & live[:, None],
+                     score[:, None] + diff, INF)            # [B, P]
+
+    neg, idx = jax.lax.top_k(-cand.reshape(B * P), out_slots)
+    sel_score = -neg
+    new_live = (jnp.arange(out_slots) < width) & jnp.isfinite(sel_score)
+    parent = idx // P
+    part = idx % P
+
+    newc = counts[parent]                                   # [B', P, A, S]
+    part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
+    update = w_t[None, :] * oh_t                            # [A, S]
+    newc = newc + part_oh[:, :, None, None] * update[None, None]
+    new_score = jnp.where(new_live, sel_score, INF)
+
+    if out_slots == B:
+        counts_out = jnp.where(valid, newc, counts)
+        score_out = jnp.where(valid, new_score, score)
+        live_out = jnp.where(valid, new_live, live)
+    else:
+        # Slot-space change (warmup -> main): when this step is padding,
+        # keep the top `out_slots` existing beams (slots are score-sorted
+        # by the previous top_k, so slot 0 is always the best).
+        counts_out = jnp.where(valid, newc, counts[:out_slots])
+        score_out = jnp.where(valid, new_score, score[:out_slots])
+        live_out = jnp.where(valid, new_live, live[:out_slots])
+    out_parent = jnp.where(valid, parent,
+                           jnp.arange(out_slots)).astype(jnp.int32)
+    out_part = jnp.where(valid, part, -1).astype(jnp.int32)
+    return counts_out, score_out, live_out, out_parent, out_part
 
 
 def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
@@ -70,79 +142,87 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
     R, S = alleles.shape
     P = ploidy
     A = max_alleles
-    B = ploidy * beam_width
-    cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
-    div = jnp.float32(constants.DIV_FACTOR)
+    B1 = ploidy * beam_width
+    W = beam_width
     eps = epsilon.astype(jnp.float32)
 
-    counts0 = jnp.zeros((B, P, S, A), dtype=jnp.float32)
-    score0 = jnp.where(jnp.arange(B) == 0, 0.0, jnp.inf).astype(jnp.float32)
-    live0 = jnp.arange(B) == 0
+    covered_all = alleles >= 0
+    # One-hot over alleles with S minor: oh[r, a, s]
+    oh_all = (alleles[:, None, :] == jnp.arange(A, dtype=alleles.dtype)[
+        None, :, None]).astype(jnp.float32)
 
-    onehot_sites = jax.nn.one_hot(
-        jnp.clip(alleles, 0, A - 1), A, dtype=jnp.float32)  # [R, S, A]
-    covered_all = (alleles >= 0)
+    counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
+    score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
+        jnp.float32)
+    live = jnp.arange(B1) == 0
 
-    def step(state, xs):
+    T1 = min(constants.BEAM_WARMUP_READS, R)
+
+    def warm_step(state, xs):
         counts, score, live = state
         t, a_cov, w_t, oh_t = xs
-        valid = t < num_reads
-
-        maxc = counts.max(axis=-1)                          # [B, P, S]
-        at = jnp.einsum("bpsa,sa->bps", counts, oh_t)       # [B, P, S]
-        empty = maxc == 0.0
-        cov = a_cov[None, None, :]
-        w = w_t[None, None, :]
-        same = (w * cov * ~empty * (at == maxc)).sum(-1)    # [B, P]
-        diff = ((w * cov * ~empty * (at < maxc)).sum(-1)
-                + eps * (cov & empty).sum(-1))
-        pval = binom_tail_jnp(same + diff, diff, eps, div)  # [B, P]
-        lse = log_sum_exp_jnp(pval, axis=-1)                # [B]
-        keep = (pval - lse[:, None]) > cutoff
-        cand = jnp.where(keep & live[:, None],
-                         score[:, None] + diff, INF)        # [B, P]
-
-        width = jnp.where(t < constants.BEAM_WARMUP_READS, B, beam_width)
-        neg, idx = jax.lax.top_k(-cand.reshape(B * P), B)
-        sel_score = -neg
-        rank_ok = jnp.arange(B) < width
-        new_live = rank_ok & jnp.isfinite(sel_score)
-        parent = idx // P
-        part = idx % P
-
-        newc = counts[parent]                               # [B, P, S, A]
-        part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)  # [B, P]
-        update = w_t[:, None] * oh_t                        # [S, A]
-        newc = newc + part_oh[:, :, None, None] * update[None, None]
-        new_score = jnp.where(new_live, sel_score, INF)
-
-        counts = jnp.where(valid, newc, counts)
-        score = jnp.where(valid, new_score, score)
-        live = jnp.where(valid, new_live, live)
-        out_parent = jnp.where(valid, parent, 0).astype(jnp.int32)
-        out_part = jnp.where(valid, part, 0).astype(jnp.int32)
-        return (counts, score, live), (out_parent, out_part)
+        counts, score, live, parent, part = _step(
+            counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
+            width=B1, ploidy=P, out_slots=B1)
+        return (counts, score, live), (parent, part)
 
     ts = jnp.arange(R, dtype=jnp.int32)
-    (counts, score, live), (parents, parts) = jax.lax.scan(
-        step, (counts0, score0, live0),
-        (ts, covered_all, weights, onehot_sites))
-    return parents, parts, score, live
+    (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
+        warm_step, (counts, score, live),
+        (ts[:T1], covered_all[:T1], weights[:T1], oh_all[:T1]))
+
+    if R <= T1:
+        empty = jnp.zeros((0, W), dtype=jnp.int32)
+        return (warm_parents, warm_parts, empty, empty, score, live)
+
+    # Transition step (read index T1): full B1 parent space, width W.
+    counts, score, live, tr_parent, tr_part = _step(
+        counts, score, live, jnp.int32(T1), covered_all[T1], weights[T1],
+        oh_all[T1], num_reads, eps, width=W, ploidy=P, out_slots=W)
+
+    def main_step(state, xs):
+        counts, score, live = state
+        t, a_cov, w_t, oh_t = xs
+        counts, score, live, parent, part = _step(
+            counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
+            width=W, ploidy=P, out_slots=W)
+        return (counts, score, live), (parent, part)
+
+    (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
+        main_step, (counts, score, live),
+        (ts[T1 + 1:], covered_all[T1 + 1:], weights[T1 + 1:],
+         oh_all[T1 + 1:]))
+
+    main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
+    main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)
+    return (warm_parents, warm_parts, main_parents, main_parts, score,
+            live)
 
 
-def traceback(parents: np.ndarray, parts: np.ndarray, scores: np.ndarray,
-              live: np.ndarray, num_reads: int,
-              ploidy: int) -> np.ndarray:
-    """Recover the best beam's read -> part assignment.
+def traceback(result_g, num_reads: int, ploidy: int) -> np.ndarray:
+    """Recover the best beam's read -> part assignment for one instance.
 
-    parents/parts [R, B]; returns assignment [num_reads] int32. Mirrors the
+    result_g: per-instance tuple (warm_parents [T1, B1], warm_parts,
+    main_parents [T2, W], main_parts, scores, live). Mirrors the
     reference's parent-chain walk (global_clustering.rs:149-178).
     """
+    warm_parents, warm_parts, main_parents, main_parts, scores, live = (
+        np.asarray(a) for a in result_g)
     scores = np.where(live, scores, np.inf)
-    best = int(np.argmin(scores))
+    b = int(np.argmin(scores))
     assignment = np.zeros(num_reads, dtype=np.int32)
-    b = best
-    for t in range(num_reads - 1, -1, -1):
-        assignment[t] = parts[t, b]
-        b = int(parents[t, b])
+    T1 = warm_parents.shape[0]
+    T2 = main_parents.shape[0]
+    # Walk the main phase (reads T1+T2-1 .. T1), then the warm phase.
+    # Padding steps recorded identity parents, so the chain passes
+    # through them untouched.
+    for t in range(T2 - 1, -1, -1):
+        read_idx = T1 + t
+        if read_idx < num_reads:
+            assignment[read_idx] = main_parts[t, b]
+        b = int(main_parents[t, b])
+    for t in range(T1 - 1, -1, -1):
+        if t < num_reads:
+            assignment[t] = warm_parts[t, b]
+        b = int(warm_parents[t, b])
     return assignment

@@ -41,8 +41,7 @@ def pad_to_multiple(n: int, m: int) -> int:
 def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
                         weights: np.ndarray, num_reads: np.ndarray,
                         epsilon: np.ndarray, ploidy: int,
-                        beam_width: int) -> Tuple[jax.Array, jax.Array,
-                                                  jax.Array, jax.Array]:
+                        beam_width: int) -> Tuple[np.ndarray, ...]:
     """Beam-search a batch of block instances sharded over the mesh.
 
     The batch (leading) axis is padded to a multiple of the mesh size and
@@ -69,9 +68,8 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
     sharding = NamedSharding(mesh, P("block"))
     args = [jax.device_put(a, sharding)
             for a in (alleles, weights, num_reads, epsilon)]
-    parents, parts, scores, live = fn(*args)
-    return (np.asarray(parents)[:G], np.asarray(parts)[:G],
-            np.asarray(scores)[:G], np.asarray(live)[:G])
+    out = fn(*args)
+    return tuple(np.asarray(a)[:G] for a in out)
 
 
 @functools.lru_cache(maxsize=64)
@@ -85,7 +83,7 @@ def _sharded_beam_fn(mesh: Mesh, ploidy: int, beam_width: int):
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(spec, spec, spec, spec),
-                       out_specs=(spec, spec, spec, spec),
+                       out_specs=(spec,) * 6,
                        check_vma=False)
     def run(alleles, weights, num_reads, epsilon):
         return local(alleles, weights, num_reads, epsilon)
@@ -112,8 +110,8 @@ def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
                        out_specs=(spec, P()),
                        check_vma=False)
     def step(alleles, weights, num_reads, epsilon):
-        _parents, parts, scores, live = local(alleles, weights,
-                                              num_reads, epsilon)
+        out = local(alleles, weights, num_reads, epsilon)
+        parts, scores, live = out[1], out[4], out[5]
         best = jnp.min(jnp.where(live, scores, jnp.inf), axis=1)
         best = jnp.where(jnp.isfinite(best), best, 0.0)
         total = jax.lax.psum(jnp.sum(best), "block")

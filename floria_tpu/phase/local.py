@@ -171,13 +171,11 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
             weights[g, :r, :s] = bt.weights
             nreads[g] = bt.num_reads
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        parents, parts, scores, live = _dispatch_beam(
-            alleles, weights, nreads, eps, ploidy,
-            options.max_number_solns, options)
+        result = _dispatch_beam(alleles, weights, nreads, eps, ploidy,
+                                options.max_number_solns, options)
         for g, (j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
-                parents[g], parts[g], scores[g], live[g], bt.num_reads,
-                ploidy)
+                tuple(a[g] for a in result), bt.num_reads, ploidy)
     return out
 
 
@@ -199,5 +197,5 @@ def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
         mesh = make_block_mesh(n_dev)
         return beam_search_sharded(mesh, alleles, weights, nreads, eps,
                                    ploidy, beam_width)
-    return jax_to_np(beam_kernel.beam_search_batch(
-        alleles, weights, nreads, eps, ploidy, beam_width))
+    return jax_to_np(tuple(beam_kernel.beam_search_batch(
+        alleles, weights, nreads, eps, ploidy, beam_width)))

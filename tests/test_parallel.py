@@ -47,5 +47,5 @@ def test_graft_entry():
     import __graft_entry__ as g
     fn, fnargs = g.entry()
     out = jax.jit(fn)(*fnargs)
-    assert len(out) == 4
+    assert len(out) == 6
     g.dryrun_multichip(8)
