@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="Block instances per device dispatch.")
     tpu.add_argument("--no-device", action="store_true",
                      help="Force the pure-host phasing path.")
+    tpu.add_argument("--resume", action="store_true",
+                     help="Skip contigs whose outputs already exist "
+                          "(per-contig checkpointing).")
     return p
 
 
@@ -119,15 +122,18 @@ def options_from_args(args: argparse.Namespace) -> Options:
             logging.info("Estimated -l is %s", est_l)
 
     out_dir = args.output_dir
-    if os.path.exists(out_dir) and not args.overwrite:
+    if (os.path.exists(out_dir) and not args.overwrite
+            and not args.resume):
         logging.error(
             "Output directory exists; use --overwrite to overwrite.")
         sys.exit(1)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "cmd.log"), "w") as f:
         f.write(" ".join(sys.argv) + " ")
-    with open(os.path.join(out_dir, "contig_ploidy_info.tsv"), "w") as f:
-        f.write(constants.CONTIG_PLOIDY_HEADER)
+    ploidy_tsv = os.path.join(out_dir, "contig_ploidy_info.tsv")
+    if not (args.resume and os.path.exists(ploidy_tsv)):
+        with open(ploidy_tsv, "w") as f:
+            f.write(constants.CONTIG_PLOIDY_HEADER)
 
     return Options(
         bam_file=args.bam, vcf_file=args.vcf,
@@ -149,7 +155,7 @@ def options_from_args(args: argparse.Namespace) -> Options:
         overwrite=args.overwrite, num_threads=args.threads,
         list_to_phase=list(args.list_to_phase),
         device_batch_size=args.device_batch_size,
-        use_device=not args.no_device)
+        use_device=not args.no_device, resume=args.resume)
 
 
 def main(argv=None) -> None:

@@ -32,6 +32,25 @@ class Haplogroup:
     cov: Optional[float]             # mean flow along the path
 
 
+def write_pet_graph_dot(hap_graph: List[List[HapNode]],
+                        out_path: str) -> None:
+    """Graphviz dump of the flow DAG, the debug artifact the reference
+    writes at debug/trace level (graph_processing.rs:539-543)."""
+    with open(out_path, "w") as f:
+        f.write("digraph {\n")
+        for block in hap_graph:
+            for node in block:
+                f.write(f'    {node.node_id} [ label = '
+                        f'"({node.column}, {node.row})" ]\n')
+        for block in hap_graph:
+            for node in block:
+                for (r2, flow) in node.out_flows:
+                    other = hap_graph[node.column + 1][r2]
+                    f.write(f'    {node.node_id} -> {other.node_id} '
+                            f'[ label = "{flow}" ]\n')
+        f.write("}\n")
+
+
 def get_disjoint_paths(hap_graph: List[List[HapNode]],
                        flow_update_vec: FlowUpVec) -> List[Haplogroup]:
     # Attach LP flows >= the shared-read floor (graph_processing.rs:474-482)

@@ -51,6 +51,10 @@ class Options:
     list_to_phase: List[str] = dataclasses.field(default_factory=list)
 
     # --- TPU execution settings (no reference analog) ---
+    # Skip contigs whose output directory already holds vartigs — the
+    # per-contig elasticity the reference lacks (SURVEY.md §5
+    # checkpoint/resume: per-contig output dirs are independent).
+    resume: bool = False
     # Upper bound on block instances phased per device dispatch.
     device_batch_size: int = 64
     # If set, use this many devices for block sharding; None = all local.

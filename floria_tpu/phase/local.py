@@ -92,7 +92,9 @@ def _bucket_sites(s: int) -> int:
 
 
 def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
-                        options: Options) -> List[LocalBlockResult]:
+                        options: Options,
+                        debug_dir: Optional[str] = None
+                        ) -> List[LocalBlockResult]:
     """Phase every SNP block of a contig; returns one result per non-empty
     block, in block order (empty blocks are dropped, like the None return
     at graph_processing.rs:129-131)."""
@@ -141,7 +143,27 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
         results.append(LocalBlockResult(
             block_index=j, snp_range=bt.snp_range, best_ploidy=best_ploidy,
             part_frag_ids=part_ids, mec_vector=mec_vector))
+        if debug_dir is not None:
+            _dump_local_parts(debug_dir, j, bt, part_ids, best_ploidy,
+                              frags)
     return results
+
+
+def _dump_local_parts(debug_dir: str, j: int, bt: BlockTensor, part_ids,
+                      best_ploidy: int, frags) -> None:
+    """Per-block partition dump at debug level, the reference's
+    local_parts/ artifact (graph_processing.rs:289-300)."""
+    import os
+
+    os.makedirs(debug_dir, exist_ok=True)
+    name = f"{j}-0-{bt.snp_range[0]}-{best_ploidy}"
+    with open(os.path.join(debug_dir, name), "w") as f:
+        for p, ids in enumerate(part_ids):
+            f.write(f"#{p}\n")
+            for fid in ids:
+                fr = frags[int(fid)]
+                f.write(f"{fr.id}\t{fr.first_position}\t"
+                        f"{fr.last_position}\n")
 
 
 def phase_instances(blocks: List[Tuple[int, BlockTensor]],

@@ -80,8 +80,14 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
         return
 
     contig_out_dir = os.path.join(options.out_dir, contig)
-    if os.path.exists(contig_out_dir) and options.overwrite:
-        shutil.rmtree(contig_out_dir, ignore_errors=True)
+    if os.path.exists(contig_out_dir):
+        done_marker = os.path.join(contig_out_dir, f"{contig}.vartigs")
+        if options.resume and os.path.exists(done_marker):
+            log.info("Contig %s already phased; --resume skips it.",
+                     contig)
+            return
+        if options.overwrite:
+            shutil.rmtree(contig_out_dir, ignore_errors=True)
     os.makedirs(contig_out_dir, exist_ok=True)
 
     all_frags = sort_and_renumber(all_frags)
@@ -106,7 +112,10 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
              time.time() - t0)
 
     phasing_t = time.time()
-    results = phase_contig_blocks(final_frags, snp_to_genome_pos, options)
+    debug_dir = (os.path.join(contig_out_dir, "local_parts")
+                 if log.isEnabledFor(logging.DEBUG) else None)
+    results = phase_contig_blocks(final_frags, snp_to_genome_pos, options,
+                                  debug_dir=debug_dir)
     log.info("Phasing time taken %.2fs", time.time() - phasing_t)
     if not results:
         return
@@ -130,6 +139,10 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
     log.info("Flow solved in time %.2fs", time.time() - lp_t)
 
     haplogroups = get_disjoint_paths(hap_graph, flow_vec)
+    if log.isEnabledFor(logging.DEBUG):
+        from .graph.paths import write_pet_graph_dot
+        write_pet_graph_dot(hap_graph,
+                            os.path.join(contig_out_dir, "pet_graph.dot"))
     if options.do_binning:
         from .post.binning import bin_haplogroups
         haplogroups = bin_haplogroups(haplogroups, cv,
