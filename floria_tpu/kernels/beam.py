@@ -47,6 +47,11 @@ from .scores import binom_tail_jnp, log_sum_exp_jnp
 
 INF = jnp.float32(jnp.inf)
 
+# Loop-overhead amortization for the per-read scans; read insertion is
+# inherently sequential, unrolling only trades code size for dispatch
+# overhead.
+_SCAN_UNROLL = 4
+
 
 class BeamResult(NamedTuple):
     """Per-phase traceback records + final beam state.
@@ -169,7 +174,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
     ts = jnp.arange(R, dtype=jnp.int32)
     (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
         warm_step, (counts, score, live),
-        (ts[:T1], covered_all[:T1], weights[:T1], oh_all[:T1]))
+        (ts[:T1], covered_all[:T1], weights[:T1], oh_all[:T1]),
+        unroll=_SCAN_UNROLL)
 
     if R <= T1:
         empty = jnp.zeros((0, W), dtype=jnp.int32)
@@ -191,7 +197,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
     (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
         main_step, (counts, score, live),
         (ts[T1 + 1:], covered_all[T1 + 1:], weights[T1 + 1:],
-         oh_all[T1 + 1:]))
+         oh_all[T1 + 1:]), unroll=_SCAN_UNROLL)
 
     main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
     main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)

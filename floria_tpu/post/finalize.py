@@ -116,6 +116,9 @@ def process_reads_for_final_parts(
         parts[best].add(fid)
         state.add(fid, best)
 
+    if constants.MERGE_SIMILAR_HAPLOGROUPS:
+        merge_overlapping_haplogroups(parts, ranges, frags,
+                                      options.epsilon)
     if constants.SEPARATE_BROKEN_HAPLOGROUPS:
         separate_broken_haplogroups(parts, ranges, frags)
 
@@ -124,6 +127,91 @@ def process_reads_for_final_parts(
 
     order = sorted(range(len(parts)), key=lambda i: ranges[i])
     return [parts[i] for i in order], [ranges[i] for i in order]
+
+
+def merge_overlapping_haplogroups(parts: List[Set[int]],
+                                  ranges: List[Tuple[int, int]],
+                                  frags: Sequence[Frag],
+                                  epsilon: float) -> None:
+    """Union-find merge of heavily-overlapping, consensus-compatible
+    haplogroups (part_block_manip.rs:99-172; disabled by default via
+    MERGE_SIMILAR_HAPLOGROUPS, kept for feature parity).
+
+    For each haplogroup, overlap candidates above MERGE_CUTOFF interval
+    overlap whose consensus disagreement rate (over shared or in-range
+    sites with coverage above DIST_COV_CUTOFF) is below epsilon are merge
+    candidates; the widest-span candidate wins."""
+    from ..post.hapq import overlap_percent
+
+    n = len(parts)
+    consensus = []
+    for ids in parts:
+        acc: Dict[int, np.ndarray] = {}
+        for fid in ids:
+            f = frags[fid]
+            for p, a, w in zip(f.snps, f.alleles, f.weights):
+                site = acc.get(int(p))
+                if site is None:
+                    site = np.zeros(constants.MAX_ALLELES)
+                    acc[int(p)] = site
+                site[a] += w
+        consensus.append(acc)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        candidates = []
+        for j in range(n):
+            if i == j:
+                continue
+            s1, e1 = ranges[i]
+            s2, e2 = ranges[j]
+            if not (s2 < e1 and e2 > s1):
+                continue
+            ol = overlap_percent(s1, e1, s2, e2)
+            if ol <= constants.MERGE_CUTOFF:
+                continue
+            lo = min(s1, s2)
+            hi = max(e1, e2)
+            same = diff = 0.0
+            for p, c1 in consensus[i].items():
+                c2 = consensus[j].get(p)
+                if c2 is None:
+                    continue
+                if ((c1.sum() > constants.DIST_COV_CUTOFF
+                     and c2.sum() > constants.DIST_COV_CUTOFF)
+                        or lo <= p <= hi):
+                    if int(c1.argmax()) == int(c2.argmax()):
+                        same += 1.0
+                    else:
+                        diff += 1.0
+            if same + diff > 0 and diff / (same + diff) < epsilon:
+                candidates.append((j, hi - lo))
+        if candidates:
+            best = max(candidates, key=lambda c: c[1])[0]
+            ri, rj = find(i), find(best)
+            if ri != rj:
+                parent[rj] = ri
+
+    groups: Dict[int, List[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    for rep, members in groups.items():
+        if len(members) <= 1:
+            continue
+        lo = min(ranges[m][0] for m in members)
+        hi = max(ranges[m][1] for m in members)
+        for m in members:
+            if m != rep:
+                parts[rep] |= parts[m]
+                parts[m] = set()
+        ranges[rep] = (lo, hi)
 
 
 def separate_broken_haplogroups(parts: List[Set[int]],
