@@ -10,4 +10,28 @@ Work scales across devices by sharding SNP blocks over a jax.sharding.Mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across runs: the phasing kernel compiles
+    one variant per (ploidy, read-bucket, site-bucket) shape, which is
+    seconds each but adds up on first contact with a new workload."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "FLORIA_TPU_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "floria_tpu_xla"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from .options import Options  # noqa: F401

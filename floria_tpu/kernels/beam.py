@@ -119,7 +119,11 @@ def _step(counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
     parent = idx // P
     part = idx % P
 
-    newc = counts[parent]                                   # [B', P, A, S]
+    # Beam gather as a one-hot MXU matmul — substantially faster than an
+    # indexed gather on TPU for these shapes.
+    gather_oh = jax.nn.one_hot(parent, B, dtype=jnp.float32)
+    newc = jnp.einsum("bB,BPAS->bPAS", gather_oh, counts,
+                      preferred_element_type=jnp.float32)
     part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
     update = w_t[None, :] * oh_t                            # [A, S]
     newc = newc + part_oh[:, :, None, None] * update[None, None]
