@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--resume", action="store_true",
                      help="Skip contigs whose outputs already exist "
                           "(per-contig checkpointing).")
+    tpu.add_argument("--num-processes", type=int, default=1,
+                     help="Multi-host: total process count.")
+    tpu.add_argument("--process-id", type=int, default=0,
+                     help="Multi-host: this process's index.")
+    tpu.add_argument("--coordinator", default=None,
+                     help="Multi-host: jax.distributed coordinator "
+                          "address host:port.")
     return p
 
 
@@ -161,8 +168,13 @@ def options_from_args(args: argparse.Namespace) -> Options:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     options = options_from_args(args)
-    from .pipeline import run
-    run(options)
+    if args.num_processes > 1:
+        from .parallel.multihost import run_multihost
+        run_multihost(options, args.num_processes, args.process_id,
+                      args.coordinator)
+    else:
+        from .pipeline import run
+        run(options)
 
 
 if __name__ == "__main__":

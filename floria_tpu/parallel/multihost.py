@@ -1,0 +1,97 @@
+"""Multi-host execution: contig sharding across processes.
+
+The reference is a single shared-memory process (SURVEY.md §2.3). For
+pod-scale runs, floria-tpu distributes by the natural outer axis:
+contigs. Each host process ingests only its share of contigs (the BAM is
+scanned once per process but only assigned contigs are decoded into
+fragments), phases its blocks on its local devices, and writes its own
+per-contig output directories — per-contig outputs are independent, so no
+output synchronization is needed beyond the shared contig_ploidy_info.tsv
+(written per-host as contig_ploidy_info.<proc>.tsv and merged by rank 0
+at the end).
+
+Block-level sharding across the local device mesh happens inside
+phase/local.py regardless of host count; ICI collectives stay within a
+host's slice, and no DCN traffic is needed during phasing at all.
+
+Cannot be exercised on single-host CI; validated structurally via
+deterministic shard assignment tests.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+from ..options import Options
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """jax.distributed.initialize wrapper; no-op when single-process.
+    Returns this process's index."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return 0
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def contigs_for_process(contigs: List[str], process_id: int,
+                        num_processes: int) -> List[str]:
+    """Deterministic round-robin contig shard (stable under any contig
+    count; balances mixed contig sizes better than block partitioning)."""
+    return [c for i, c in enumerate(contigs)
+            if i % num_processes == process_id]
+
+
+def run_multihost(options: Options, num_processes: int, process_id: int,
+                  coordinator: Optional[str] = None) -> None:
+    """Phase this process's contig shard, then merge summary TSVs on
+    rank 0."""
+    from ..ingest import bam as bamlib
+    from ..pipeline import run
+
+    initialize_distributed(coordinator, num_processes, process_id)
+    all_contigs = bamlib.get_contigs_to_phase(options.bam_file)
+    mine = contigs_for_process(all_contigs, process_id, num_processes)
+    options.list_to_phase = (
+        [c for c in mine if c in options.list_to_phase]
+        if options.list_to_phase else mine)
+    run(options)
+    _rename_ploidy_tsv(options, process_id)
+    if process_id == 0:
+        _merge_ploidy_tsvs(options, all_contigs)
+
+
+def _rename_ploidy_tsv(options: Options, process_id: int) -> None:
+    src = os.path.join(options.out_dir, "contig_ploidy_info.tsv")
+    if os.path.exists(src):
+        os.replace(src, os.path.join(
+            options.out_dir, f"contig_ploidy_info.{process_id}.tsv"))
+
+
+def _merge_ploidy_tsvs(options: Options,
+                       contig_order: List[str]) -> None:
+    """Merge per-process TSVs into one, rows in contig order."""
+    from .. import constants
+
+    rows = {}
+    for path in glob.glob(os.path.join(options.out_dir,
+                                       "contig_ploidy_info.*.tsv")):
+        with open(path) as fh:
+            for line in fh:
+                if line.startswith("contig\t") or not line.strip():
+                    continue
+                rows[line.split("\t", 1)[0]] = line
+    with open(os.path.join(options.out_dir,
+                           "contig_ploidy_info.tsv"), "w") as out:
+        out.write(constants.CONTIG_PLOIDY_HEADER)
+        for contig in contig_order:
+            if contig in rows:
+                out.write(rows[contig])
