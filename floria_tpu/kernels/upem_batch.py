@@ -1,0 +1,180 @@
+"""Batched UPEM refinement across block instances.
+
+The per-iteration move evaluation needs every read's epsilon-distance to
+every part — reformulated here as MXU matmuls: for each allele a, the
+read-side factor w*(alleles==a) [R, S] contracts over sites with the
+part-side masks (nonempty * (counts_a == maxc)) [S, P], so one iteration
+over a whole batch of blocks is ~2A+1 batched matmuls plus elementwise
+mask prep. The (cheap, sequential) move application stays on host exactly
+as the reference applies it (local_clustering.rs:292-358).
+
+All instances of one shape bucket iterate in lockstep with per-instance
+convergence masking; converged instances simply stop changing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
+def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
+                    max_alleles=constants.MAX_ALLELES):
+    """Evaluate a batch of partitions.
+
+    alleles [G, R, S] int8, weights [G, R, S] f32, assign [G, R] int32
+    (-1 = padding row), epsilon [G] f32.
+
+    Returns (diff [G, R, P] f32 epsilon-distances,
+             score [G] f32 = -(sum of phred MEC-epsilon errors),
+             mec_noph [G, 2] f32 = (bases, errors) with unit weights).
+    """
+    P = ploidy
+    A = max_alleles
+    G, R, S = alleles.shape
+    eps = epsilon[:, None, None]
+
+    assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)  # [G, R, P]
+    covered = (alleles >= 0)
+    covf = covered.astype(jnp.float32)
+
+    # Per-allele read factors and part-side counts/cover.
+    counts = []
+    cover = []
+    wa_list = []
+    for a in range(A):
+        is_a = (alleles == a).astype(jnp.float32)
+        wa = weights * is_a                                  # [G, R, S]
+        wa_list.append(wa)
+        counts.append(jnp.einsum("grp,grs->gps", assign_oh, wa,
+                                 preferred_element_type=jnp.float32))
+        cover.append(jnp.einsum("grp,grs->gps", assign_oh, is_a,
+                                preferred_element_type=jnp.float32))
+    counts = jnp.stack(counts, axis=1)                       # [G, A, P, S]
+    cover = jnp.stack(cover, axis=1)
+
+    maxc = counts.max(axis=1)                                # [G, P, S]
+    nonempty = (maxc > 0.0).astype(jnp.float32)
+    empty = 1.0 - nonempty
+
+    # diff[g,r,p] = sum_a wa[r,s] . (nonempty*(counts_a<maxc))[p,s]
+    #            + eps * sum_s cov[r,s]*empty[p,s]
+    diff = jnp.einsum("grs,gps->grp", covf, empty,
+                      preferred_element_type=jnp.float32) * eps
+    for a in range(A):
+        lt = nonempty * (counts[:, a] < maxc)
+        diff = diff + jnp.einsum("grs,gps->grp", wa_list[a], lt,
+                                 preferred_element_type=jnp.float32)
+
+    # Phred MEC-epsilon score (local_clustering.rs:218-260): per part and
+    # site with any entry: errors += total - max + eps*(max <= 1).
+    has_key = (cover.sum(axis=1) > 0).astype(jnp.float32)    # [G, P, S]
+    total = counts.sum(axis=1)
+    errors = ((total - maxc) * has_key).sum((1, 2))
+    errors = errors + (epsilon
+                       * ((maxc <= 1.0) * has_key).sum((1, 2)))
+    score = -errors                                          # [G]
+
+    # Unit-weight MEC stats for the ploidy-sweep stopping rules
+    # (get_mec_stats_epsilon_no_phred).
+    ucounts = []
+    for a in range(A):
+        is_a = (alleles == a).astype(jnp.float32) * covf
+        ucounts.append(jnp.einsum("grp,grs->gps", assign_oh, is_a,
+                                  preferred_element_type=jnp.float32))
+    ucounts = jnp.stack(ucounts, axis=1)
+    umax = ucounts.max(axis=1)
+    uhas = (ucounts.sum(axis=1) > 0).astype(jnp.float32)
+    ubases = (umax * uhas).sum((1, 2))
+    uerr = ((ucounts.sum(axis=1) - umax) * uhas).sum((1, 2))
+    uerr = uerr + epsilon * ((umax <= 1.0) * uhas).sum((1, 2))
+    mec_noph = jnp.stack([ubases, uerr], axis=-1)
+    return diff, score, mec_noph
+
+
+def apply_moves(assign: np.ndarray, diff: np.ndarray, ploidy: int,
+                num_reads: int) -> np.ndarray:
+    """Host move application for one instance
+    (local_clustering.rs:292-358). assign [R], diff [R, P]."""
+    sizes = np.bincount(assign[:num_reads], minlength=ploidy)
+    moves = []
+    for r in range(num_reads):
+        i = assign[r]
+        if sizes[i] <= 1:
+            continue
+        own = diff[r, i]
+        for j in range(ploidy):
+            if j == i:
+                continue
+            gain = own - diff[r, j]
+            if gain > 0.0:
+                moves.append((gain, r, i, j))
+    new_assign = assign.copy()
+    if not moves:
+        return new_assign
+    moves.sort(key=lambda m: -m[0])
+    n_moves = len(moves) // 10
+    if n_moves == 0:
+        n_moves = len(moves) // 3 + 1
+    moved = set()
+    cur = sizes.copy()
+    for mv_num, (_g, r, i, j) in enumerate(moves):
+        if r in moved:
+            continue
+        if cur[i] == 1:
+            continue
+        new_assign[r] = j
+        cur[j] += 1
+        cur[i] -= 1
+        moved.add(r)
+        if mv_num > n_moves:
+            break
+    return new_assign
+
+
+def optimize_batch(alleles: np.ndarray, weights: np.ndarray,
+                   assigns: np.ndarray, num_reads: np.ndarray,
+                   epsilon: np.ndarray, ploidy: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Lockstep UPEM over a batch (optimize_clustering semantics,
+    local_clustering.rs:71-130). Padding rows must carry assign = -1...
+    actually assign 0 with zero weights contributes nothing.
+
+    Returns (refined assigns [G, R], mec_noph [G, 2] of the refined
+    partitions).
+    """
+    G, R, S = alleles.shape
+    best = assigns.copy()
+    diff, score, mec = (np.array(x) for x in upem_eval_batch(
+        alleles, weights, jnp.asarray(best), epsilon, ploidy))
+    best_score = score
+    best_mec = mec
+    active = np.ones(G, dtype=bool)
+    for _ in range(constants.NUM_ITER_OPTIMIZE):
+        if not active.any():
+            break
+        proposal = best.copy()
+        for g in np.flatnonzero(active):
+            proposal[g] = apply_moves(best[g], diff[g], ploidy,
+                                      int(num_reads[g]))
+        changed = (proposal != best).any(axis=1)
+        active &= changed
+        if not active.any():
+            break
+        new_diff, new_score, new_mec = (np.array(x) for x in
+                                        upem_eval_batch(
+            alleles, weights, jnp.asarray(proposal), epsilon, ploidy))
+        improved = active & (new_score > best_score)
+        best[improved] = proposal[improved]
+        best_score[improved] = new_score[improved]
+        best_mec[improved] = new_mec[improved]
+        diff[improved] = new_diff[improved]
+        active &= improved
+    return best, best_mec

@@ -112,32 +112,19 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
 
     assignments = phase_instances(
         blocks, options, ploidies=range(2, options.max_ploidy + 1))
+    refined, mec_stats = refine_instances(blocks, assignments, options)
 
     results = []
     for j, bt in blocks:
-        R = bt.num_reads
         mec_vector = np.zeros(options.max_ploidy)
         expected = np.zeros(options.max_ploidy)
-        per_ploidy_assignment: Dict[int, np.ndarray] = {}
         for ploidy in range(1, options.max_ploidy + 1):
-            if ploidy == 1:
-                assignment = np.zeros(R, dtype=np.int32)
-            else:
-                assignment = assignments[(j, ploidy)]
-            _score, assignment = optimize_clustering(
-                bt, assignment, ploidy, options.epsilon)
-            per_ploidy_assignment[ploidy] = assignment
-            counts = partition_counts(bt, assignment, ploidy,
-                                      weighted=False)
-            cover = partition_cover(bt, assignment, ploidy)
-            stats = mec_stats_epsilon(counts, cover, options.epsilon)
-            bad = stats[:, 1].sum()
-            good = stats[:, 0].sum()
+            good, bad = mec_stats[(j, ploidy)]
             mec_vector[ploidy - 1] = bad
             expected[ploidy - 1] = (good + bad) * options.epsilon
 
         best_ploidy = pick_best_ploidy(mec_vector, expected, options)
-        assignment = per_ploidy_assignment[best_ploidy]
+        assignment = refined[(j, best_ploidy)]
         part_ids = [bt.frag_ids[assignment == p]
                     for p in range(best_ploidy)]
         results.append(LocalBlockResult(
@@ -164,6 +151,51 @@ def _dump_local_parts(debug_dir: str, j: int, bt: BlockTensor, part_ids,
                 fr = frags[int(fid)]
                 f.write(f"{fr.id}\t{fr.first_position}\t"
                         f"{fr.last_position}\n")
+
+
+def refine_instances(blocks: List[Tuple[int, BlockTensor]],
+                     assignments: Dict[Tuple[int, int], np.ndarray],
+                     options: Options) -> Tuple[
+                         Dict[Tuple[int, int], np.ndarray],
+                         Dict[Tuple[int, int], Tuple[float, float]]]:
+    """Batched UPEM refinement + no-phred MEC stats for every
+    (block, ploidy) instance, shape-bucketed like phase_instances.
+
+    Returns ({(block, ploidy): refined assignment},
+             {(block, ploidy): (bases, errors)}).
+    """
+    from ..kernels.upem_batch import optimize_batch
+
+    groups: Dict[Tuple[int, int, int],
+                 List[Tuple[int, BlockTensor]]] = {}
+    for ploidy in range(1, options.max_ploidy + 1):
+        for j, bt in blocks:
+            key = (ploidy, _bucket_reads(bt.num_reads),
+                   _bucket_sites(bt.num_sites))
+            groups.setdefault(key, []).append((j, bt))
+
+    refined: Dict[Tuple[int, int], np.ndarray] = {}
+    stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
+    for (ploidy, r_pad, s_pad), members in groups.items():
+        G = len(members)
+        alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
+        weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
+        assigns = np.zeros((G, r_pad), dtype=np.int32)
+        nreads = np.zeros(G, dtype=np.int32)
+        for g, (j, bt) in enumerate(members):
+            r, s = bt.alleles.shape
+            alleles[g, :r, :s] = bt.alleles
+            weights[g, :r, :s] = bt.weights
+            nreads[g] = bt.num_reads
+            if ploidy > 1:
+                assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
+        eps = np.full(G, options.epsilon, dtype=np.float32)
+        new_assigns, mec = optimize_batch(alleles, weights, assigns,
+                                          nreads, eps, ploidy)
+        for g, (j, bt) in enumerate(members):
+            refined[(j, ploidy)] = new_assigns[g, :bt.num_reads]
+            stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))
+    return refined, stats
 
 
 def phase_instances(blocks: List[Tuple[int, BlockTensor]],
