@@ -17,6 +17,10 @@ def _enable_compilation_cache() -> None:
     """Persist XLA compilations across runs: the phasing kernel compiles
     one variant per (ploidy, read-bucket, site-bucket) shape, which is
     seconds each but adds up on first contact with a new workload."""
+    # CPU AOT cache entries are machine-feature sensitive (reload warns
+    # about SIGILL risk), so only cache for accelerator backends.
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     try:
         import jax
 
