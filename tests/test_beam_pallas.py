@@ -75,4 +75,3 @@ def test_supported_shapes():
     assert beam_pallas.supported(256, 256, 5, 10)
     assert not beam_pallas.supported(16, 256, 5, 10)   # below warmup
     assert not beam_pallas.supported(256, 200, 5, 10)  # lane misaligned
-    assert beam_pallas.chunk_for(5, 10, 256, 256) >= 2
