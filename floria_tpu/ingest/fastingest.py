@@ -1,0 +1,207 @@
+"""Native-accelerated fragment extraction.
+
+Uses the C++ runtime (native/bgzf_bam.cpp) for the three per-record hot
+loops — BGZF inflate, record scan, and the CIGAR/SNP/allele intersection
+— with vectorized numpy for the alignment filters. Produces the same
+Frag objects as the pure path (ingest/fragments.py), which remains the
+reference implementation and the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .. import native
+from ..frag import Frag
+from ..options import Options
+from . import bam as bamlib
+from .vcf import ContigVcf
+
+
+class FastBam:
+    """BAM decoded once into flat field arrays via the native scanner."""
+
+    def __init__(self, path: str):
+        lib = native.get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        _bind_extract(lib)
+        from . import bgzf
+
+        data = bgzf.read_file(path)
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        off = 8 + l_text
+        self.header_text = data[8:8 + l_text].rstrip(b"\x00").decode(
+            errors="replace")
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        self.references: List[str] = []
+        self.lengths: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, off)[0]
+            self.references.append(
+                data[off + 4:off + 4 + l_name - 1].decode())
+            self.lengths.append(
+                struct.unpack_from("<i", data, off + 4 + l_name)[0])
+            off += 8 + l_name
+        self._data = data
+        n = _scan(lib, data, off)
+        if n < 0:
+            raise ValueError("malformed BAM")
+        self.n_records = n
+        self.rec_off = np.zeros(n, np.int64)
+        self.tid = np.zeros(n, np.int32)
+        self.pos = np.zeros(n, np.int32)
+        self.mapq = np.zeros(n, np.uint8)
+        self.flag = np.zeros(n, np.uint16)
+        self.n_cigar = np.zeros(n, np.uint16)
+        self.l_seq = np.zeros(n, np.int32)
+        self.l_read_name = np.zeros(n, np.uint8)
+        _scan(lib, data, off, self.rec_off, self.tid, self.pos,
+              self.mapq, self.flag, self.n_cigar, self.l_seq,
+              self.l_read_name)
+
+    def qname(self, i: int) -> str:
+        o = int(self.rec_off[i]) + 32
+        ln = int(self.l_read_name[i])
+        return self._data[o:o + ln - 1].decode()
+
+    def payload(self, i: int) -> Tuple[bytes, bytes]:
+        """(ASCII seq, phred+33 qual) of record i."""
+        o = int(self.rec_off[i])
+        ls = int(self.l_seq[i])
+        seq_off = o + 32 + int(self.l_read_name[i]) + 4 * int(
+            self.n_cigar[i])
+        packed = np.frombuffer(self._data, np.uint8,
+                               count=(ls + 1) // 2, offset=seq_off)
+        seq = bamlib._decode_seq(packed, ls).tobytes()
+        qual = np.frombuffer(self._data, np.uint8, count=ls,
+                             offset=seq_off + (ls + 1) // 2)
+        qual33 = np.minimum(qual.astype(np.uint16) + 33, 255).astype(
+            np.uint8).tobytes()
+        return seq, qual33
+
+
+def _bind_extract(lib) -> None:
+    if getattr(lib, "_extract_bound", False):
+        return
+    lib.floria_extract_sites.restype = ctypes.c_int64
+    lib.floria_extract_sites.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    lib.floria_bam_scan.restype = ctypes.c_int64
+    lib.floria_bam_scan.argtypes = (
+        [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        + [ctypes.c_void_p] * 8)
+    lib._extract_bound = True
+
+
+def _scan(lib, data, off, *arrays):
+    ptrs = [a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+            for a in arrays]
+    ptrs += [None] * (8 - len(ptrs))
+    return lib.floria_bam_scan(data, len(data), off, *ptrs)
+
+
+def passed_check_vec(flags: np.ndarray, mapq: np.ndarray,
+                     use_supplementary: bool, mapq_cutoff: int
+                     ) -> np.ndarray:
+    """Vectorized alignment_passed_check (file_reader.rs:185-235)."""
+    is_paired = (flags & (bamlib.FLAG_FIRST_IN_PAIR
+                          | bamlib.FLAG_SECOND_IN_PAIR)) > 0
+    is_supp = (flags & bamlib.FLAG_SUPPLEMENTARY) > 0
+    ok = np.ones(len(flags), dtype=bool)
+    ok &= ~(is_supp & is_paired)
+    if not use_supplementary:
+        ok &= ~is_supp
+    ok &= ~(is_supp & (mapq < 60))
+    ok &= mapq >= mapq_cutoff
+    ok &= (flags & bamlib.ERRORS_MASK) == 0
+    ok &= (flags & bamlib.FLAG_SECONDARY) == 0
+    return ok
+
+
+def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
+                         options: Options, tid: int
+                         ) -> Dict[str, List[Tuple[int, Frag]]]:
+    """Native-path equivalent of the per-record loop in
+    get_frags_from_bam: returns {qname: [(flag, Frag)]} ready for
+    combine_frags. Payload strings are attached lazily per record."""
+    lib = native.get_lib()
+    sel = np.flatnonzero(
+        (fb.tid == tid)
+        & passed_check_vec(fb.flag, fb.mapq,
+                           not options.dont_use_supp_aln,
+                           options.mapq_cutoff))
+    if len(sel) == 0:
+        return {}
+    rec_off = np.ascontiguousarray(fb.rec_off[sel])
+    n_rec = len(sel)
+    snp_pos = np.ascontiguousarray(contig_vcf.genome_pos, dtype=np.int64)
+    allele_mat = np.ascontiguousarray(contig_vcf.allele_matrix(),
+                                      dtype=np.uint8)
+    cap = max(1024, n_rec * 64)
+    while True:
+        out_rec = np.zeros(cap, np.int32)
+        out_snp = np.zeros(cap, np.int32)
+        out_allele = np.zeros(cap, np.uint8)
+        out_qual = np.zeros(cap, np.uint8)
+        out_qpos = np.zeros(cap, np.int32)
+        rec_end = np.zeros(n_rec, np.int64)
+        got = lib.floria_extract_sites(
+            fb._data, rec_off, n_rec, snp_pos, len(snp_pos), allele_mat,
+            allele_mat.shape[1], cap, out_rec, out_snp, out_allele,
+            out_qual, out_qpos, rec_end)
+        if got >= 0:
+            break
+        cap *= 4
+    out_rec = out_rec[:got]
+    out_snp = out_snp[:got]
+    out_allele = out_allele[:got]
+    out_qual = out_qual[:got]
+    out_qpos = out_qpos[:got]
+
+    by_name: Dict[str, List[Tuple[int, Frag]]] = {}
+    boundaries = np.flatnonzero(np.diff(out_rec, prepend=-1))
+    boundaries = np.append(boundaries, got)
+    site_ranges = {int(out_rec[boundaries[k]]):
+                   (int(boundaries[k]), int(boundaries[k + 1]))
+                   for k in range(len(boundaries) - 1)}
+    for local_idx in range(n_rec):
+        gi = int(sel[local_idx])
+        flag = int(fb.flag[gi])
+        frag = Frag(fb.qname(gi), local_idx,
+                    bool(flag & (bamlib.FLAG_FIRST_IN_PAIR
+                                 | bamlib.FLAG_SECOND_IN_PAIR)))
+        frag.first_pos_base = int(fb.pos[gi])
+        lo_hi = site_ranges.get(local_idx)
+        frag.last_pos_base = int(rec_end[local_idx])
+        if lo_hi is not None:
+            lo, hi = lo_hi
+            for k in range(lo, hi):
+                snp_counter = int(out_snp[k]) + 1
+                frag.add_site(snp_counter, int(out_allele[k]),
+                              int(out_qual[k]), 0, int(out_qpos[k]))
+        seq, qual33 = fb.payload(gi)
+        frag.seq_string[0] = seq
+        frag.qual_string[0] = qual33
+        by_name.setdefault(frag.id, []).append((flag, frag))
+    return by_name

@@ -179,20 +179,30 @@ def get_frags_from_bam(main_bam: bamlib.BamFile,
     filter_supplementary = True
     use_supplementary = not options.dont_use_supp_aln
 
-    record_lists = []
-    if short_bam is not None:
-        record_lists.append(short_bam.fetch(contig))
-    else:
-        record_lists.append([])
-    record_lists.append(main_bam.fetch(contig))
-
     id_to_frags: Dict[str, List[Tuple[int, Frag]]] = {}
     realigner = None
     if ref_seq is not None:
         from ..kernels.realign import SnpRealigner
         realigner = SnpRealigner(ref_seq, contig_vcf)
-    for records in record_lists:
-        for count, record in enumerate(records):
+
+    for bam_obj in (short_bam, main_bam):
+        if bam_obj is None:
+            continue
+        if hasattr(bam_obj, "rec_off"):  # native FastBam path
+            from .fastingest import extract_contig_frags
+            try:
+                tid = bam_obj.references.index(contig)
+            except ValueError:
+                continue
+            sub = extract_contig_frags(bam_obj, contig_vcf, options, tid)
+            for qname, entries in sub.items():
+                bucket = id_to_frags.setdefault(qname, [])
+                for flag, frag in entries:
+                    if realigner is not None:
+                        realigner.realign(frag)
+                    bucket.append((flag, frag))
+            continue
+        for count, record in enumerate(bam_obj.fetch(contig)):
             if record.tid < 0:
                 continue
             passed, _is_supp = alignment_passed_check(

@@ -35,13 +35,25 @@ from .post.snpless import frags_in_snpless_gaps
 log = logging.getLogger("floria_tpu")
 
 
+def open_bam(path: str):
+    """Native-accelerated BAM when the C++ runtime is available, pure
+    Python otherwise."""
+    try:
+        from .ingest.fastingest import FastBam
+        return FastBam(path)
+    except Exception as e:
+        log.debug("native BAM path unavailable (%s); using pure decoder",
+                  e)
+        return bamlib.BamFile(path)
+
+
 def run(options: Options) -> None:
     options.validate()
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
-    main_bam = bamlib.BamFile(options.bam_file)
-    short_bam = (bamlib.BamFile(options.short_bam_file)
+    main_bam = open_bam(options.bam_file)
+    short_bam = (open_bam(options.short_bam_file)
                  if options.short_bam_file else None)
     vcf_profile = read_vcf(options.vcf_file, contigs)
     fasta = (FastaFile(options.reference_fasta)

@@ -111,3 +111,103 @@ void floria_unpack_seqs(const uint8_t* data, const int64_t* seq_off,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fragment extraction hot loop: walk each record's CIGAR, intersect match
+// segments with the sorted SNP position list, match read bases against the
+// VCF allele lists, and emit flat site arrays. Mirrors the semantics of the
+// reference's frag_from_record walk (file_reader.rs:661-736): deletions at
+// SNPs are skipped, the first matching allele index wins, supplementary
+// records offset query positions by leading hard clips.
+
+namespace {
+
+inline int64_t lower_bound_i64(const int64_t* arr, int64_t n, int64_t key) {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (arr[mid] < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of emitted sites (or -needed if cap too small).
+// rec_end_out[i] receives the 0-based exclusive reference end per record.
+int64_t floria_extract_sites(
+    const uint8_t* data, const int64_t* rec_off, int64_t n_rec,
+    const int64_t* snp_pos, int64_t n_snp, const uint8_t* allele_mat,
+    int32_t max_a, int64_t cap, int32_t* out_rec, int32_t* out_snp,
+    uint8_t* out_allele, uint8_t* out_qual, int32_t* out_qpos,
+    int64_t* rec_end_out) {
+    static const char seq_codes[17] = "=ACMGRSVTWYHKDBN";
+    int64_t emitted = 0;
+    for (int64_t ri = 0; ri < n_rec; ++ri) {
+        const uint8_t* p = data + rec_off[ri];
+        int32_t pos;
+        std::memcpy(&pos, p + 4, 4);
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar, flag;
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flag, p + 14, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, p + 16, 4);
+        const uint8_t* cigar = p + 32 + l_read_name;
+        const uint8_t* seq = cigar + 4 * n_cigar;
+        const uint8_t* qual = seq + (l_seq + 1) / 2;
+
+        int32_t lead_hard = 0;
+        if ((flag & 2048) && n_cigar > 0) {
+            uint32_t op0;
+            std::memcpy(&op0, cigar, 4);
+            if ((op0 & 0xF) == 5) lead_hard = op0 >> 4;
+        }
+
+        int64_t r = pos;
+        int64_t q = 0;
+        for (int32_t ci = 0; ci < n_cigar; ++ci) {
+            uint32_t c;
+            std::memcpy(&c, cigar + 4 * ci, 4);
+            uint32_t op = c & 0xF, ln = c >> 4;
+            bool consumes_q = (op == 0 || op == 1 || op == 4 || op == 7
+                               || op == 8);
+            bool consumes_r = (op == 0 || op == 2 || op == 3 || op == 7
+                               || op == 8);
+            if (consumes_q && consumes_r) {  // M/=/X
+                int64_t lo = lower_bound_i64(snp_pos, n_snp, r);
+                for (int64_t si = lo; si < n_snp
+                         && snp_pos[si] < r + ln; ++si) {
+                    int64_t qpos = q + (snp_pos[si] - r);
+                    uint8_t code = seq[qpos >> 1];
+                    uint8_t base = static_cast<uint8_t>(
+                        seq_codes[(qpos & 1) ? (code & 0xF)
+                                             : (code >> 4)]);
+                    const uint8_t* alleles = allele_mat + si * max_a;
+                    for (int32_t a = 0; a < max_a; ++a) {
+                        if (alleles[a] == 0) break;
+                        if (alleles[a] == base) {
+                            if (emitted >= cap) return -(emitted + 1);
+                            out_rec[emitted] = static_cast<int32_t>(ri);
+                            out_snp[emitted] = static_cast<int32_t>(si);
+                            out_allele[emitted] = static_cast<uint8_t>(a);
+                            out_qual[emitted] = qual[qpos];
+                            out_qpos[emitted] = static_cast<int32_t>(
+                                qpos + lead_hard);
+                            ++emitted;
+                            break;
+                        }
+                    }
+                }
+            }
+            if (consumes_q) q += ln;
+            if (consumes_r) r += ln;
+        }
+        rec_end_out[ri] = r;
+    }
+    return emitted;
+}
+
+}  // extern "C"
