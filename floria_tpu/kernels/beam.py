@@ -70,40 +70,61 @@ class BeamResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("ploidy", "beam_width",
-                                             "max_alleles"))
+                                             "max_alleles", "window"))
 def beam_search_batch(alleles: jax.Array, weights: jax.Array,
                       num_reads: jax.Array, epsilon: jax.Array,
                       ploidy: int, beam_width: int,
-                      max_alleles: int = constants.MAX_ALLELES
-                      ) -> BeamResult:
+                      max_alleles: int = constants.MAX_ALLELES,
+                      window: int = 0) -> BeamResult:
     """Phase a batch of block instances at a fixed ploidy.
 
     alleles  [G, R, S] int8 (-1 = uncovered / padding)
     weights  [G, R, S] float32
     num_reads [G] int32 — live reads per instance (rest are padding rows)
     epsilon  [G] float32 — per-contig error rate
+    window   sliding compute-window width in sites (0 or >= S => full).
+             Must be >= any read's column span + 128; per-step compute
+             then touches only the window, exploiting the fact that
+             columns behind the sorted-read frontier are never read
+             again (the tensor analog of the reference's haplotype
+             truncation, types_structs.rs:327-376).
     """
+    S = alleles.shape[-1]
+    if window <= 0 or window >= S:
+        window = S
     fn = jax.vmap(functools.partial(
         _beam_search_single, ploidy=ploidy, beam_width=beam_width,
-        max_alleles=max_alleles))
+        max_alleles=max_alleles, window=window))
     return BeamResult(*fn(alleles, weights, num_reads, epsilon))
 
 
-def _step(counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
-          width, ploidy, out_slots):
+def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
+          eps, width, ploidy, out_slots, window):
     """Insert read t into every live beam; keep the best `width` of the
-    top `out_slots` candidates. counts: [B, P, A, S]."""
-    B = counts.shape[0]
-    P = ploidy
+    top `out_slots` candidates. counts: [B, P, A, S]; compute touches
+    only the `window` columns starting at off_t (see beam_search_batch).
+    Columns ahead of every window are all-zero in every slot, columns
+    behind the frontier are never read again, so skipping them in the
+    beam permutation preserves all downstream results exactly."""
+    B, P, A, S = counts.shape
     cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
     div = jnp.float32(constants.DIV_FACTOR)
     valid = t < num_reads
 
-    maxc = counts.max(axis=2)                               # [B, P, S]
-    at = (counts * oh_t[None, None]).sum(axis=2)            # [B, P, S]
+    if window < S:
+        win = jax.lax.dynamic_slice(counts, (0, 0, 0, off_t),
+                                    (B, P, A, window))
+        a_cov_w = jax.lax.dynamic_slice(a_cov, (off_t,), (window,))
+        w_w = jax.lax.dynamic_slice(w_t, (off_t,), (window,))
+        oh_w = jax.lax.dynamic_slice(oh_t, (0, off_t), (A, window))
+    else:
+        win, a_cov_w, w_w, oh_w = counts, a_cov, w_t, oh_t
+
+    maxc = win.max(axis=2)                                  # [B, P, Wn]
+    at = (win * oh_w[None, None]).sum(axis=2)               # [B, P, Wn]
     empty = maxc == 0.0
-    cov = a_cov[None, None, :]
-    w = w_t[None, None, :]
+    cov = a_cov_w[None, None, :]
+    w = w_w[None, None, :]
     same = (w * (cov & ~empty & (at == maxc))).sum(-1)      # [B, P]
     diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
             + eps * (cov & empty).sum(-1))
@@ -122,43 +143,66 @@ def _step(counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
     # Beam gather as a one-hot MXU matmul — substantially faster than an
     # indexed gather on TPU for these shapes.
     gather_oh = jax.nn.one_hot(parent, B, dtype=jnp.float32)
-    newc = jnp.einsum("bB,BPAS->bPAS", gather_oh, counts,
+    neww = jnp.einsum("bB,BPAS->bPAS", gather_oh, win,
                       preferred_element_type=jnp.float32)
     part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
-    update = w_t[None, :] * oh_t                            # [A, S]
-    newc = newc + part_oh[:, :, None, None] * update[None, None]
+    update = w_w[None, :] * oh_w                            # [A, Wn]
+    neww = neww + part_oh[:, :, None, None] * update[None, None]
     new_score = jnp.where(new_live, sel_score, INF)
 
-    if out_slots == B:
-        counts_out = jnp.where(valid, newc, counts)
-        score_out = jnp.where(valid, new_score, score)
-        live_out = jnp.where(valid, new_live, live)
+    base = counts if out_slots == B else counts[:out_slots]
+    if window < S:
+        neww = jnp.where(valid, neww,
+                         jax.lax.dynamic_slice(
+                             base, (0, 0, 0, off_t),
+                             (out_slots, P, A, window)))
+        counts_out = jax.lax.dynamic_update_slice(base, neww,
+                                                  (0, 0, 0, off_t))
     else:
-        # Slot-space change (warmup -> main): when this step is padding,
-        # keep the top `out_slots` existing beams (slots are score-sorted
-        # by the previous top_k, so slot 0 is always the best).
-        counts_out = jnp.where(valid, newc, counts[:out_slots])
-        score_out = jnp.where(valid, new_score, score[:out_slots])
-        live_out = jnp.where(valid, new_live, live[:out_slots])
+        counts_out = jnp.where(valid, neww, base)
+    score_out = jnp.where(valid, new_score,
+                          score if out_slots == B else score[:out_slots])
+    live_out = jnp.where(valid, new_live,
+                         live if out_slots == B else live[:out_slots])
     out_parent = jnp.where(valid, parent,
                            jnp.arange(out_slots)).astype(jnp.int32)
     out_part = jnp.where(valid, part, -1).astype(jnp.int32)
     return counts_out, score_out, live_out, out_parent, out_part
 
 
+def _window_offsets(covered_all, S, window):
+    """Per-read 128-aligned window start columns: floor-128 of the first
+    covered column, clipped so the window stays inside [0, S), made
+    monotone (reads are sorted by start, so this is already monotone up
+    to padding rows, where cummax holds the last offset)."""
+    if window >= S:
+        return jnp.zeros(covered_all.shape[0], dtype=jnp.int32)
+    R = covered_all.shape[0]
+    col = jnp.argmax(covered_all, axis=1).astype(jnp.int32)
+    has = covered_all.any(axis=1)
+    start = jnp.where(has, col, S - 1)
+    off = (start // 128) * 128
+    off = jnp.minimum(off, S - window)
+    off = jax.lax.cummax(off)
+    return off
+
+
 def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
-                        beam_width, max_alleles):
+                        beam_width, max_alleles, window=0):
     R, S = alleles.shape
     P = ploidy
     A = max_alleles
     B1 = ploidy * beam_width
     W = beam_width
+    if window <= 0 or window > S:
+        window = S
     eps = epsilon.astype(jnp.float32)
 
     covered_all = alleles >= 0
     # One-hot over alleles with S minor: oh[r, a, s]
     oh_all = (alleles[:, None, :] == jnp.arange(A, dtype=alleles.dtype)[
         None, :, None]).astype(jnp.float32)
+    offs = _window_offsets(covered_all, S, window)
 
     counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
@@ -169,17 +213,17 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
 
     def warm_step(state, xs):
         counts, score, live = state
-        t, a_cov, w_t, oh_t = xs
+        t, off_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
-            counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
-            width=B1, ploidy=P, out_slots=B1)
+            counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
+            eps, width=B1, ploidy=P, out_slots=B1, window=window)
         return (counts, score, live), (parent, part)
 
     ts = jnp.arange(R, dtype=jnp.int32)
     (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
         warm_step, (counts, score, live),
-        (ts[:T1], covered_all[:T1], weights[:T1], oh_all[:T1]),
-        unroll=_SCAN_UNROLL)
+        (ts[:T1], offs[:T1], covered_all[:T1], weights[:T1],
+         oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
         empty = jnp.zeros((0, W), dtype=jnp.int32)
@@ -187,21 +231,22 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
 
     # Transition step (read index T1): full B1 parent space, width W.
     counts, score, live, tr_parent, tr_part = _step(
-        counts, score, live, jnp.int32(T1), covered_all[T1], weights[T1],
-        oh_all[T1], num_reads, eps, width=W, ploidy=P, out_slots=W)
+        counts, score, live, jnp.int32(T1), offs[T1], covered_all[T1],
+        weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
+        out_slots=W, window=window)
 
     def main_step(state, xs):
         counts, score, live = state
-        t, a_cov, w_t, oh_t = xs
+        t, off_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
-            counts, score, live, t, a_cov, w_t, oh_t, num_reads, eps,
-            width=W, ploidy=P, out_slots=W)
+            counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
+            eps, width=W, ploidy=P, out_slots=W, window=window)
         return (counts, score, live), (parent, part)
 
     (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
         main_step, (counts, score, live),
-        (ts[T1 + 1:], covered_all[T1 + 1:], weights[T1 + 1:],
-         oh_all[T1 + 1:]), unroll=_SCAN_UNROLL)
+        (ts[T1 + 1:], offs[T1 + 1:], covered_all[T1 + 1:],
+         weights[T1 + 1:], oh_all[T1 + 1:]), unroll=_SCAN_UNROLL)
 
     main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
     main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)
@@ -236,23 +281,26 @@ def warmup_state_batch(alleles, weights, num_reads, epsilon, ploidy,
         live = jnp.arange(B1) == 0
         T1 = constants.BEAM_WARMUP_READS
 
+        zero_off = jnp.zeros(R, dtype=jnp.int32)
+
         def warm_step(state, xs):
             counts, score, live = state
-            t, a_cov, w_t, oh_t = xs
+            t, off_t, a_cov, w_t, oh_t = xs
             counts, score, live, parent, part = _step(
-                counts, score, live, t, a_cov, w_t, oh_t, num_reads,
-                eps, width=B1, ploidy=P, out_slots=B1)
+                counts, score, live, t, off_t, a_cov, w_t, oh_t,
+                num_reads, eps, width=B1, ploidy=P, out_slots=B1,
+                window=S)
             return (counts, score, live), (parent, part)
 
         ts = jnp.arange(R, dtype=jnp.int32)
         (counts, score, live), (wpar, wpart) = jax.lax.scan(
             warm_step, (counts, score, live),
-            (ts[:T1], covered_all[:T1], weights[:T1], oh_all[:T1]),
-            unroll=_SCAN_UNROLL)
+            (ts[:T1], zero_off[:T1], covered_all[:T1], weights[:T1],
+             oh_all[:T1]), unroll=_SCAN_UNROLL)
         counts, score, live, tr_parent, tr_part = _step(
-            counts, score, live, jnp.int32(T1), covered_all[T1],
-            weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
-            out_slots=W)
+            counts, score, live, jnp.int32(T1), jnp.int32(0),
+            covered_all[T1], weights[T1], oh_all[T1], num_reads, eps,
+            width=W, ploidy=P, out_slots=W, window=S)
         return counts, score, wpar, wpart, tr_parent, tr_part
 
     return jax.vmap(single)(alleles, weights, num_reads, epsilon)

@@ -36,6 +36,16 @@ class BlockTensor:
     def covered(self) -> np.ndarray:
         return self.alleles >= 0
 
+    def max_read_span(self) -> int:
+        """Maximum per-read covered column span (first..last, incl.)."""
+        cov = self.alleles[:self.num_reads] >= 0
+        if not cov.any():
+            return 1
+        first = cov.argmax(axis=1)
+        last = self.alleles.shape[1] - 1 - cov[:, ::-1].argmax(axis=1)
+        has = cov.any(axis=1)
+        return int((last - first + 1)[has].max())
+
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m

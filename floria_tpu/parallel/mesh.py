@@ -41,7 +41,8 @@ def pad_to_multiple(n: int, m: int) -> int:
 def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
                         weights: np.ndarray, num_reads: np.ndarray,
                         epsilon: np.ndarray, ploidy: int,
-                        beam_width: int) -> Tuple[np.ndarray, ...]:
+                        beam_width: int,
+                        window: int = 0) -> Tuple[np.ndarray, ...]:
     """Beam-search a batch of block instances sharded over the mesh.
 
     The batch (leading) axis is padded to a multiple of the mesh size and
@@ -64,7 +65,10 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
         epsilon = np.concatenate(
             [epsilon, np.full(pad, 0.01, dtype=epsilon.dtype)])
 
-    fn = _sharded_beam_fn(mesh, ploidy, beam_width)
+    S = alleles.shape[-1]
+    if window <= 0 or window >= S:
+        window = S
+    fn = _sharded_beam_fn(mesh, ploidy, beam_width, window)
     sharding = NamedSharding(mesh, P("block"))
     args = [jax.device_put(a, sharding)
             for a in (alleles, weights, num_reads, epsilon)]
@@ -73,11 +77,12 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_beam_fn(mesh: Mesh, ploidy: int, beam_width: int):
+def _sharded_beam_fn(mesh: Mesh, ploidy: int, beam_width: int,
+                     window: int):
     local = jax.vmap(functools.partial(
         beam_kernel._beam_search_single, ploidy=ploidy,
         beam_width=beam_width,
-        max_alleles=beam_kernel.constants.MAX_ALLELES))
+        max_alleles=beam_kernel.constants.MAX_ALLELES, window=window))
 
     spec = P("block")
 
@@ -102,7 +107,7 @@ def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
     local = jax.vmap(functools.partial(
         beam_kernel._beam_search_single, ploidy=ploidy,
         beam_width=beam_width,
-        max_alleles=beam_kernel.constants.MAX_ALLELES))
+        max_alleles=beam_kernel.constants.MAX_ALLELES, window=0))
     spec = P("block")
 
     @functools.partial(shard_map, mesh=mesh,

@@ -219,14 +219,21 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
         weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
         nreads = np.zeros(G, dtype=np.int32)
+        max_span = 0
         for g, (_j, bt) in enumerate(members):
             r, s = bt.alleles.shape
             alleles[g, :r, :s] = bt.alleles
             weights[g, :r, :s] = bt.weights
             nreads[g] = bt.num_reads
+            max_span = max(max_span, bt.max_read_span())
         eps = np.full(G, options.epsilon, dtype=np.float32)
+        # Sliding compute window: columns behind the sorted-read frontier
+        # are never read again, so per-step work scales with the max read
+        # span instead of the block width.
+        window = min(s_pad, round_up(max_span + 128, 128))
         result = _dispatch_beam(alleles, weights, nreads, eps, ploidy,
-                                options.max_number_solns, options)
+                                options.max_number_solns, options,
+                                window=window)
         for g, (j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
                 tuple(a[g] for a in result), bt.num_reads, ploidy)
@@ -238,7 +245,7 @@ def jax_to_np(arrays):
 
 
 def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
-                   options: Options):
+                   options: Options, window: int = 0):
     """Single-device jit+vmap, or shard_map over a ('block',) mesh when
     several devices are available."""
     import jax
@@ -250,6 +257,7 @@ def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
         from ..parallel.mesh import beam_search_sharded, make_block_mesh
         mesh = make_block_mesh(n_dev)
         return beam_search_sharded(mesh, alleles, weights, nreads, eps,
-                                   ploidy, beam_width)
+                                   ploidy, beam_width, window=window)
     return jax_to_np(tuple(beam_kernel.beam_search_batch(
-        alleles, weights, nreads, eps, ploidy, beam_width)))
+        alleles, weights, nreads, eps, ploidy, beam_width,
+        window=window)))
