@@ -101,6 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--resume", action="store_true",
                      help="Skip contigs whose outputs already exist "
                           "(per-contig checkpointing).")
+    tpu.add_argument("--keep-going", action="store_true",
+                     help="Continue past per-contig failures.")
     tpu.add_argument("--num-processes", type=int, default=1,
                      help="Multi-host: total process count.")
     tpu.add_argument("--process-id", type=int, default=0,
@@ -162,7 +164,8 @@ def options_from_args(args: argparse.Namespace) -> Options:
         overwrite=args.overwrite, num_threads=args.threads,
         list_to_phase=list(args.list_to_phase),
         device_batch_size=args.device_batch_size,
-        use_device=not args.no_device, resume=args.resume)
+        use_device=not args.no_device, resume=args.resume,
+        keep_going=args.keep_going)
 
 
 def main(argv=None) -> None:

@@ -55,6 +55,8 @@ class Options:
     # per-contig elasticity the reference lacks (SURVEY.md §5
     # checkpoint/resume: per-contig output dirs are independent).
     resume: bool = False
+    # Continue past per-contig failures instead of aborting the run.
+    keep_going: bool = False
     # Upper bound on block instances phased per device dispatch.
     device_batch_size: int = 64
     # If set, use this many devices for block sharding; None = all local.

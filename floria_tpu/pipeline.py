@@ -72,8 +72,18 @@ def run(options: Options) -> None:
                     contig, options.snp_count_filter)
             warn_first = False
             continue
-        run_contig(contig, main_bam, short_bam, vcf_profile, fasta,
-                   options)
+        try:
+            run_contig(contig, main_bam, short_bam, vcf_profile, fasta,
+                       options)
+        except Exception:
+            # Per-contig failure isolation for large metagenomes: outputs
+            # are independent per contig, so one bad contig need not kill
+            # a 500-contig run (the reference panics,
+            # file_reader.rs:125/244).
+            if not options.keep_going:
+                raise
+            log.exception("Contig %s failed; --keep-going continues.",
+                          contig)
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 
@@ -130,6 +140,14 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
                                   debug_dir=debug_dir)
     log.info("Phasing time taken %.2fs", time.time() - phasing_t)
     if not results:
+        # No phasable blocks: still emit (empty) outputs like the
+        # reference does with an empty hap-graph
+        # (graph_processing.rs:366-367 -> write_outputs).
+        contig_len = len(ref_seq) if ref_seq is not None else (
+            int(snp_to_genome_pos[-1]) + 1)
+        write_outputs([], [], contig_out_dir, contig, final_frags,
+                      snp_to_genome_pos, options, frags_without_snps,
+                      contig_len)
         return
 
     # Hap-graph: one column per phased block, one node per part
