@@ -12,7 +12,6 @@ SNP positions are 1-indexed (VCF record order), matching the reference.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np

@@ -9,7 +9,7 @@ are linked by unambiguous shared-read counts (graph_processing.rs:22-100).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Deviations from the reference, both documented design choices:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

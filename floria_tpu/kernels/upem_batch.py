@@ -15,7 +15,7 @@ convergence masking; converged instances simply stop changing.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import re
 import struct
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Set
 
 from ..ingest import bgzf
 from ..ingest.bam import BamFile, BamRecord

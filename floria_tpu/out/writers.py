@@ -10,9 +10,8 @@ index (the reference's hashmap-order pick is unspecified).
 from __future__ import annotations
 
 import gzip
-import math
 import os
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 

@@ -16,18 +16,12 @@ values of earlier ploidies, never whether later ones ran.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .. import constants
 from ..kernels import beam as beam_kernel
-from ..kernels.blocktensor import (BlockTensor, pack_block,
-                                   partition_counts, partition_cover,
-                                   round_up)
-from ..kernels.stats import mec_stats_epsilon
-from ..kernels.upem import optimize_clustering
+from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
 from .blocks import find_reads_in_interval, get_range_with_lengths
 

@@ -12,11 +12,11 @@ import logging
 import os
 import shutil
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
-from . import constants, fragops
+from . import fragops
 from .frag import Frag, sort_and_renumber
 from .graph.edges import update_hap_graph
 from .graph.flow import solve_lp_graph
@@ -28,7 +28,7 @@ from .ingest.fragments import get_frags_from_bam
 from .ingest.vcf import VcfProfile, read_vcf
 from .options import Options
 from .out.writers import write_outputs
-from .phase.local import LocalBlockResult, phase_contig_blocks
+from .phase.local import phase_contig_blocks
 from .post.finalize import process_reads_for_final_parts
 from .post.snpless import frags_in_snpless_gaps
 

@@ -9,7 +9,7 @@ unambiguous (single-candidate) merges are applied, best first.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

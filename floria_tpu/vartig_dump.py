@@ -9,8 +9,6 @@ of a strain against a reference into a vartig.
 from __future__ import annotations
 
 import argparse
-from typing import Optional
-
 import numpy as np
 
 from .frag import sort_and_renumber
