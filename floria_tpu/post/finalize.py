@@ -23,46 +23,38 @@ from ..options import Options
 
 class _PartState:
     """Haplogroup consensus counts supporting remove/re-add
-    (utils_frags.rs:465-490 add/remove_read_from_block)."""
+    (utils_frags.rs:465-490 add/remove_read_from_block). Dense
+    [num_snps+1, A] arrays per part, vectorized per-fragment updates."""
 
     def __init__(self, frags: Sequence[Frag], parts: List[Set[int]]):
         self.frags = frags
-        # sparse per-part: snp -> [A] float counts
-        self.counts: List[Dict[int, np.ndarray]] = []
+        num_snps = 0
         for ids in parts:
-            c: Dict[int, np.ndarray] = {}
             for fid in ids:
                 f = frags[fid]
-                for p, a, w in zip(f.snps, f.alleles, f.weights):
-                    site = c.get(int(p))
-                    if site is None:
-                        site = np.zeros(constants.MAX_ALLELES)
-                        c[int(p)] = site
-                    site[a] += w
+                if len(f.snps):
+                    num_snps = max(num_snps, int(f.snps[-1]))
+        self.counts: List[np.ndarray] = []
+        for ids in parts:
+            c = np.zeros((num_snps + 2, constants.MAX_ALLELES))
+            for fid in ids:
+                f = frags[fid]
+                np.add.at(c, (f.snps, f.alleles), f.weights)
             self.counts.append(c)
 
     def remove(self, fid: int, part: int) -> None:
         c = self.counts[part]
         f = self.frags[fid]
-        for p, a, w in zip(f.snps, f.alleles, f.weights):
-            site = c.get(int(p))
-            if site is None:
-                site = np.zeros(constants.MAX_ALLELES)
-                c[int(p)] = site
-            if site[a] != 0.0:
-                site[a] -= w
-            if site[a] <= 0.0:
-                site[a] = 0.0
+        cur = c[f.snps, f.alleles]
+        # site_counter -= w only when nonzero; clamp at zero
+        # (utils_frags.rs:476-490).
+        new = np.where(cur != 0.0, cur - f.weights, cur)
+        c[f.snps, f.alleles] = np.maximum(new, 0.0)
 
     def add(self, fid: int, part: int) -> None:
         c = self.counts[part]
         f = self.frags[fid]
-        for p, a, w in zip(f.snps, f.alleles, f.weights):
-            site = c.get(int(p))
-            if site is None:
-                site = np.zeros(constants.MAX_ALLELES)
-                c[int(p)] = site
-            site[a] += w
+        np.add.at(c, (f.snps, f.alleles), f.weights)
 
     def distance(self, fid: int, part: int,
                  epsilon: float) -> Tuple[float, float]:
@@ -70,16 +62,13 @@ class _PartState:
         (utils_frags.rs:32-75)."""
         c = self.counts[part]
         f = self.frags[fid]
-        same = diff = 0.0
-        for p, a, w in zip(f.snps, f.alleles, f.weights):
-            site = c.get(int(p))
-            if site is None or not site.any():
-                diff += epsilon
-                continue
-            if site[a] == site.max():
-                same += w
-            else:
-                diff += w
+        sites = c[f.snps]                       # [n, A]
+        maxc = sites.max(axis=1)
+        at = sites[np.arange(len(f.snps)), f.alleles]
+        empty = maxc == 0.0
+        same = float(f.weights[(~empty) & (at == maxc)].sum())
+        diff = float(f.weights[(~empty) & (at < maxc)].sum()
+                     + epsilon * empty.sum())
         return same, diff
 
 

@@ -47,16 +47,20 @@ def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
 def _consensus_map(frags: Sequence[Frag],
                    frag_ids) -> Dict[int, Tuple[int, np.ndarray]]:
     """snp -> (consensus allele, counts[A]) phred-weighted, full range."""
-    acc: Dict[int, np.ndarray] = {}
+    num_snps = 0
     for fid in frag_ids:
         f = frags[int(fid)]
-        for p, a, w in zip(f.snps, f.alleles, f.weights):
-            site = acc.get(int(p))
-            if site is None:
-                site = np.zeros(constants.MAX_ALLELES)
-                acc[int(p)] = site
-            site[a] += w
-    return {p: (int(c.argmax()), c) for p, c in acc.items()}
+        if len(f.snps):
+            num_snps = max(num_snps, int(f.snps[-1]))
+    acc = np.zeros((num_snps + 2, constants.MAX_ALLELES))
+    covered = np.zeros(num_snps + 2, dtype=bool)
+    for fid in frag_ids:
+        f = frags[int(fid)]
+        np.add.at(acc, (f.snps, f.alleles), f.weights)
+        covered[f.snps] = True
+    cons = acc.argmax(axis=1)
+    return {int(p): (int(cons[p]), acc[p])
+            for p in np.flatnonzero(covered)}
 
 
 def overlap_percent(x1: int, x2: int, y1: int, y2: int) -> float:
