@@ -140,11 +140,12 @@ def passed_check_vec(flags: np.ndarray, mapq: np.ndarray,
 
 
 def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
-                         options: Options, tid: int
+                         options: Options, tid: int, realigner=None
                          ) -> Dict[str, List[Tuple[int, Frag]]]:
     """Native-path equivalent of the per-record loop in
     get_frags_from_bam: returns {qname: [(flag, Frag)]} ready for
-    combine_frags. Payload strings are attached lazily per record."""
+    combine_frags. Site dicts are bulk-constructed from the flat arrays;
+    realignment jobs are queued with the same arrays."""
     lib = native.get_lib()
     sel = np.flatnonzero(
         (fb.tid == tid)
@@ -194,14 +195,24 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
         frag.first_pos_base = int(fb.pos[gi])
         lo_hi = site_ranges.get(local_idx)
         frag.last_pos_base = int(rec_end[local_idx])
-        if lo_hi is not None:
-            lo, hi = lo_hi
-            for k in range(lo, hi):
-                snp_counter = int(out_snp[k]) + 1
-                frag.add_site(snp_counter, int(out_allele[k]),
-                              int(out_qual[k]), 0, int(out_qpos[k]))
         seq, qual33 = fb.payload(gi)
         frag.seq_string[0] = seq
         frag.qual_string[0] = qual33
+        if lo_hi is not None:
+            lo, hi = lo_hi
+            snps = out_snp[lo:hi].astype(np.int64) + 1
+            snp_list = snps.tolist()
+            frag.seq_dict = dict(zip(snp_list,
+                                     out_allele[lo:hi].tolist()))
+            frag.qual_dict = dict(zip(snp_list,
+                                      out_qual[lo:hi].tolist()))
+            frag.snp_pos_to_seq_pos = dict(zip(
+                snp_list, ((0, int(qp)) for qp in out_qpos[lo:hi])))
+            frag.first_position = int(snps[0])
+            frag.last_position = int(snps[-1])
+            if realigner is not None:
+                realigner.add_jobs(
+                    frag, snps, out_qpos[lo:hi].astype(np.int64),
+                    np.frombuffer(seq, dtype=np.uint8))
         by_name.setdefault(frag.id, []).append((flag, frag))
     return by_name

@@ -194,13 +194,10 @@ def get_frags_from_bam(main_bam: bamlib.BamFile,
                 tid = bam_obj.references.index(contig)
             except ValueError:
                 continue
-            sub = extract_contig_frags(bam_obj, contig_vcf, options, tid)
+            sub = extract_contig_frags(bam_obj, contig_vcf, options,
+                                       tid, realigner=realigner)
             for qname, entries in sub.items():
-                bucket = id_to_frags.setdefault(qname, [])
-                for flag, frag in entries:
-                    if realigner is not None:
-                        realigner.realign(frag)
-                    bucket.append((flag, frag))
+                id_to_frags.setdefault(qname, []).extend(entries)
             continue
         for count, record in enumerate(bam_obj.fetch(contig)):
             if record.tid < 0:

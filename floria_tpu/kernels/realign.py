@@ -6,8 +6,8 @@ substituted at the center, keeping the allele with the best score
 (alignment.rs:7-64, SIMD block-aligner: match +1 / mismatch -1, gap open
 -2 extend -1). That is thousands of independent fixed-size
 needleman-wunsch problems — ideal device shape — so we collect every
-(read, SNP) job for a contig and run one batched affine-gap NW (Gotoh)
-over all (job, allele) pairs.
+(read, SNP) job for a contig with vectorized window gathers and run
+chunked batched affine-gap NW (Gotoh) over all (job, allele) pairs.
 
 Deviations from the reference, both documented design choices:
 - exact NW instead of block-aligner's banded block approximation (the
@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants
 from ..frag import Frag
 from ..ingest.vcf import ContigVcf
 
@@ -39,8 +38,11 @@ MATCH = 1.0
 MISMATCH = -1.0
 NEG = -1e9
 
+# Jobs per device dispatch; each job scores MAX_ALLELES variants.
+CHUNK_JOBS = 131072
 
-@functools.partial(jax.jit, static_argnames=())
+
+@jax.jit
 def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
     """Global affine-gap alignment scores for a batch of equal-length
     sequence pairs. q, r: [N, W] uint8. Returns [N] float32."""
@@ -63,10 +65,9 @@ def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
         sub = jnp.where(q_i[:, None] == r, MATCH, MISMATCH)  # [N, W]
         m = jnp.concatenate(
             [jnp.full((N, 1), NEG), h_prev[:, :-1] + sub], axis=1)
-        m = m.at[:, 0].set(NEG)
         ix = jnp.maximum(m_prev + GAP_OPEN, ix_prev + GAP_EXTEND)
-        ix = ix.at[:, 0].set(GAP_OPEN + GAP_EXTEND * (i.astype(
-            jnp.float32)))
+        ix = ix.at[:, 0].set(GAP_OPEN + GAP_EXTEND * i.astype(
+            jnp.float32))
         # Iy via max-plus prefix: Iy[j] = e*j + cummax_{k<j}(M[k]+o-e(k+1))
         base = m + GAP_OPEN - GAP_EXTEND * (jcols + 1.0)
         base = jnp.maximum(base, ix + GAP_OPEN - GAP_EXTEND * (jcols
@@ -83,59 +84,84 @@ def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
     return jnp.maximum(jnp.maximum(m[:, -1], ix[:, -1]), iy[:, -1])
 
 
+_OFFSETS = np.arange(-FLANK, FLANK)
+
+
 class SnpRealigner:
-    """Collects (read, SNP) realignment jobs and applies them in one
-    batched device call per contig."""
+    """Collects (read, SNP) realignment jobs with vectorized window
+    gathers and applies them in chunked batched device calls."""
 
     def __init__(self, ref_seq: bytes, contig_vcf: ContigVcf):
         self.ref = np.frombuffer(ref_seq.upper(), dtype=np.uint8)
         self.cv = contig_vcf
-        self._jobs_q: List[np.ndarray] = []
-        self._jobs_r: List[np.ndarray] = []
-        self._jobs_alleles: List[bytes] = []
-        self._targets: List[tuple] = []  # (frag, snp_pos)
+        self.allele_mat = contig_vcf.allele_matrix()       # [n_snp, A]
+        self.n_alleles = (self.allele_mat > 0).sum(axis=1)
+        self._q: List[np.ndarray] = []
+        self._r: List[np.ndarray] = []
+        self._snp_idx: List[np.ndarray] = []
+        self._targets: List = []  # (frag, snp_pos array per batch)
 
     def realign(self, frag: Frag) -> None:
+        """Queue one fragment (pure-Python ingest path: sites still live
+        in dicts)."""
         if not frag.seq_dict:
             return
-        seq = np.frombuffer(frag.seq_string[0].upper(), dtype=np.uint8)
-        for snp_pos in frag.seq_dict:
-            gn = self.cv.snp_to_gn(snp_pos)
-            qpos = frag.snp_pos_to_seq_pos[snp_pos][1]
-            if (FLANK > gn or FLANK + gn >= len(self.ref)
-                    or FLANK > qpos or FLANK + qpos >= len(seq)):
-                continue
-            self._jobs_q.append(seq[qpos - FLANK:qpos + FLANK])
-            self._jobs_r.append(self.ref[gn - FLANK:gn + FLANK].copy())
-            self._jobs_alleles.append(self.cv.pos_allele_map[gn])
-            self._targets.append((frag, snp_pos))
+        snps = np.fromiter(frag.seq_dict.keys(), dtype=np.int64,
+                           count=len(frag.seq_dict))
+        qpos = np.fromiter(
+            (frag.snp_pos_to_seq_pos[int(p)][1] for p in snps),
+            dtype=np.int64, count=len(snps))
+        self.add_jobs(frag, snps, qpos,
+                      np.frombuffer(frag.seq_string[0].upper(),
+                                    dtype=np.uint8))
+
+    def add_jobs(self, frag: Frag, snp_counters: np.ndarray,
+                 qpos: np.ndarray, seq: np.ndarray) -> None:
+        """Queue sites given as arrays (1-based SNP counters)."""
+        snp_idx = snp_counters.astype(np.int64) - 1
+        gn = self.cv.genome_pos[snp_idx]
+        ok = ((gn >= FLANK) & (gn + FLANK < len(self.ref))
+              & (qpos >= FLANK) & (qpos + FLANK < len(seq)))
+        if not ok.any():
+            return
+        gn = gn[ok]
+        qp = qpos[ok]
+        self._q.append(seq[qp[:, None] + _OFFSETS])
+        self._r.append(self.ref[gn[:, None] + _OFFSETS])
+        self._snp_idx.append(snp_idx[ok])
+        self._targets.append((frag, snp_counters[ok]))
 
     def flush(self) -> None:
         if not self._targets:
             return
-        N = len(self._targets)
-        A = constants.MAX_ALLELES
-        q = np.stack(self._jobs_q)
-        r = np.stack(self._jobs_r)
-        # Variant windows: allele substituted at the center.
-        variants = np.repeat(r[:, None, :], A, axis=1)  # [N, A, W]
-        n_alleles = np.zeros(N, dtype=np.int64)
-        for i, al in enumerate(self._jobs_alleles):
-            n_alleles[i] = len(al)
-            for a, b in enumerate(al):
-                variants[i, a, FLANK] = b
-        q_all = np.repeat(q[:, None, :], A, axis=1).reshape(N * A, WINDOW)
-        scores = np.array(
-            _nw_scores(jnp.asarray(q_all),
-                       jnp.asarray(variants.reshape(N * A, WINDOW)))
-        ).reshape(N, A)
-        scores[np.arange(A)[None, :] >= n_alleles[:, None]] = -np.inf
-        # First strictly-best allele (the reference keeps the first max,
-        # alignment.rs:50-56).
-        best = scores.argmax(axis=1)
-        for (frag, snp_pos), b in zip(self._targets, best):
-            frag.seq_dict[snp_pos] = int(b)
-        self._jobs_q.clear()
-        self._jobs_r.clear()
-        self._jobs_alleles.clear()
+        q = np.concatenate(self._q)
+        r = np.concatenate(self._r)
+        snp_idx = np.concatenate(self._snp_idx)
+        N = len(q)
+        A = self.allele_mat.shape[1]
+        best = np.zeros(N, dtype=np.int8)
+        for lo in range(0, N, CHUNK_JOBS):
+            hi = min(N, lo + CHUNK_JOBS)
+            n = hi - lo
+            variants = np.repeat(r[lo:hi, None, :], A, axis=1)
+            variants[:, :, FLANK] = self.allele_mat[snp_idx[lo:hi]]
+            q_all = np.repeat(q[lo:hi, None, :], A, axis=1)
+            scores = np.array(_nw_scores(
+                jnp.asarray(q_all.reshape(n * A, WINDOW)),
+                jnp.asarray(variants.reshape(n * A, WINDOW)))
+            ).reshape(n, A)
+            scores[np.arange(A)[None, :]
+                   >= self.n_alleles[snp_idx[lo:hi], None]] = -np.inf
+            best[lo:hi] = scores.argmax(axis=1)
+
+        off = 0
+        for frag, snp_pos in self._targets:
+            calls = best[off:off + len(snp_pos)]
+            off += len(snp_pos)
+            frag.seq_dict.update(
+                zip((int(p) for p in snp_pos),
+                    (int(b) for b in calls)))
+        self._q.clear()
+        self._r.clear()
+        self._snp_idx.clear()
         self._targets.clear()

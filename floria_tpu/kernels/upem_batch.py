@@ -152,6 +152,12 @@ def optimize_batch(alleles: np.ndarray, weights: np.ndarray,
     """
     G, R, S = alleles.shape
     best = assigns.copy()
+    # Keep the block tensors device-resident for the whole lockstep loop;
+    # re-uploading them every iteration dominates wall time on remote
+    # devices.
+    alleles = jax.device_put(alleles)
+    weights = jax.device_put(weights)
+    epsilon = jax.device_put(epsilon)
     diff, score, mec = (np.array(x) for x in upem_eval_batch(
         alleles, weights, jnp.asarray(best), epsilon, ploidy))
     best_score = score
