@@ -102,34 +102,42 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
 def apply_moves(assign: np.ndarray, diff: np.ndarray, ploidy: int,
                 num_reads: int) -> np.ndarray:
     """Host move application for one instance
-    (local_clustering.rs:292-358). assign [R], diff [R, P]."""
-    sizes = np.bincount(assign[:num_reads], minlength=ploidy)
-    moves = []
-    for r in range(num_reads):
-        i = assign[r]
-        if sizes[i] <= 1:
-            continue
-        own = diff[r, i]
-        for j in range(ploidy):
-            if j == i:
-                continue
-            gain = own - diff[r, j]
-            if gain > 0.0:
-                moves.append((gain, r, i, j))
+    (local_clustering.rs:292-358). assign [R], diff [R, P].
+
+    Candidate generation and the descending-gain sort are vectorized;
+    ties keep (read-major, target-part) generation order via a stable
+    sort, matching the sequential construction. The capped application
+    walk stays sequential (part sizes update as moves land).
+    """
+    a = assign[:num_reads]
+    sizes = np.bincount(a, minlength=ploidy)
+    own = diff[np.arange(num_reads), a]                  # [R]
+    gains = own[:, None] - diff[:num_reads]              # [R, P]
+    cand = gains > 0.0
+    cand[np.arange(num_reads), a] = False
+    cand[sizes[a] <= 1] = False
+    rr, jj = np.nonzero(cand)
     new_assign = assign.copy()
-    if not moves:
+    if len(rr) == 0:
         return new_assign
-    moves.sort(key=lambda m: -m[0])
-    n_moves = len(moves) // 10
+    order = np.argsort(-gains[rr, jj], kind="stable")
+    rr = rr[order]
+    jj = jj[order]
+    n_moves = len(rr) // 10
     if n_moves == 0:
-        n_moves = len(moves) // 3 + 1
+        n_moves = len(rr) // 3 + 1
     moved = set()
     cur = sizes.copy()
-    for mv_num, (_g, r, i, j) in enumerate(moves):
+    # Skipped candidates bypass the cap check entirely, exactly like the
+    # reference's `continue` before its break (local_clustering.rs:341-355).
+    for mv_num in range(len(rr)):
+        r = int(rr[mv_num])
         if r in moved:
             continue
+        i = int(a[r])
         if cur[i] == 1:
             continue
+        j = int(jj[mv_num])
         new_assign[r] = j
         cur[j] += 1
         cur[i] -= 1
