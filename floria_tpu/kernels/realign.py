@@ -38,8 +38,9 @@ MATCH = 1.0
 MISMATCH = -1.0
 NEG = -1e9
 
-# Jobs per device dispatch; each job scores MAX_ALLELES variants.
-CHUNK_JOBS = 131072
+# Jobs per device dispatch; each job scores MAX_ALLELES variants. The
+# last chunk is padded to this size so exactly one shape ever compiles.
+CHUNK_JOBS = 32768
 
 
 @jax.jit
@@ -143,13 +144,23 @@ class SnpRealigner:
         for lo in range(0, N, CHUNK_JOBS):
             hi = min(N, lo + CHUNK_JOBS)
             n = hi - lo
-            variants = np.repeat(r[lo:hi, None, :], A, axis=1)
-            variants[:, :, FLANK] = self.allele_mat[snp_idx[lo:hi]]
-            q_all = np.repeat(q[lo:hi, None, :], A, axis=1)
+            pad = CHUNK_JOBS - n
+            qc = q[lo:hi]
+            rc = r[lo:hi]
+            si = snp_idx[lo:hi]
+            if pad:
+                qc = np.concatenate([qc, np.zeros((pad, WINDOW),
+                                                  np.uint8)])
+                rc = np.concatenate([rc, np.zeros((pad, WINDOW),
+                                                  np.uint8)])
+                si = np.concatenate([si, np.zeros(pad, np.int64)])
+            variants = np.repeat(rc[:, None, :], A, axis=1)
+            variants[:, :, FLANK] = self.allele_mat[si]
+            q_all = np.repeat(qc[:, None, :], A, axis=1)
             scores = np.array(_nw_scores(
-                jnp.asarray(q_all.reshape(n * A, WINDOW)),
-                jnp.asarray(variants.reshape(n * A, WINDOW)))
-            ).reshape(n, A)
+                jnp.asarray(q_all.reshape(CHUNK_JOBS * A, WINDOW)),
+                jnp.asarray(variants.reshape(CHUNK_JOBS * A, WINDOW)))
+            ).reshape(CHUNK_JOBS, A)[:n]
             scores[np.arange(A)[None, :]
                    >= self.n_alleles[snp_idx[lo:hi], None]] = -np.inf
             best[lo:hi] = scores.argmax(axis=1)
