@@ -82,7 +82,14 @@ def _bucket_reads(r: int) -> int:
 
 
 def _bucket_sites(s: int) -> int:
-    return round_up(max(s, 64), 64)
+    """Coarse site buckets: few compile variants beats tight padding —
+    the padded compute is cheap, a fresh XLA variant is not."""
+    s = max(s, 64)
+    if s <= 256:
+        return round_up(s, 128)
+    if s <= 1024:
+        return round_up(s, 256)
+    return round_up(s, 512)
 
 
 def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
@@ -104,9 +111,18 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
     if not blocks:
         return []
 
+    import logging
+    import time as _time
+
+    _log = logging.getLogger("floria_tpu")
+    t0 = _time.time()
     assignments = phase_instances(
         blocks, options, ploidies=range(2, options.max_ploidy + 1))
+    _log.info("Beam search: %d blocks x %d ploidies in %.2fs",
+              len(blocks), options.max_ploidy, _time.time() - t0)
+    t0 = _time.time()
     refined, mec_stats = refine_instances(blocks, assignments, options)
+    _log.info("UPEM refinement in %.2fs", _time.time() - t0)
 
     results = []
     for j, bt in blocks:
@@ -223,8 +239,9 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         eps = np.full(G, options.epsilon, dtype=np.float32)
         # Sliding compute window: columns behind the sorted-read frontier
         # are never read again, so per-step work scales with the max read
-        # span instead of the block width.
-        window = min(s_pad, round_up(max_span + 128, 128))
+        # span instead of the block width. Coarsely bucketed to limit
+        # compile variants.
+        window = min(s_pad, round_up(max_span + 128, 256))
         result = _dispatch_beam(alleles, weights, nreads, eps, ploidy,
                                 options.max_number_solns, options,
                                 window=window)
