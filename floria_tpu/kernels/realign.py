@@ -141,6 +141,9 @@ class SnpRealigner:
         N = len(q)
         A = self.allele_mat.shape[1]
         best = np.zeros(N, dtype=np.int8)
+        # Launch every chunk asynchronously and synchronize once — a
+        # per-chunk round trip serializes on device-link latency.
+        pending = []
         for lo in range(0, N, CHUNK_JOBS):
             hi = min(N, lo + CHUNK_JOBS)
             n = hi - lo
@@ -157,10 +160,12 @@ class SnpRealigner:
             variants = np.repeat(rc[:, None, :], A, axis=1)
             variants[:, :, FLANK] = self.allele_mat[si]
             q_all = np.repeat(qc[:, None, :], A, axis=1)
-            scores = np.array(_nw_scores(
+            pending.append((lo, hi, _nw_scores(
                 jnp.asarray(q_all.reshape(CHUNK_JOBS * A, WINDOW)),
-                jnp.asarray(variants.reshape(CHUNK_JOBS * A, WINDOW)))
-            ).reshape(CHUNK_JOBS, A)[:n]
+                jnp.asarray(variants.reshape(CHUNK_JOBS * A, WINDOW)))))
+        for lo, hi, dev_scores in pending:
+            n = hi - lo
+            scores = np.array(dev_scores).reshape(CHUNK_JOBS, A)[:n]
             scores[np.arange(A)[None, :]
                    >= self.n_alleles[snp_idx[lo:hi], None]] = -np.inf
             best[lo:hi] = scores.argmax(axis=1)

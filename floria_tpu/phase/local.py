@@ -223,7 +223,9 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
                    _bucket_sites(bt.num_sites))
             groups.setdefault(key, []).append((j, bt))
 
-    out: Dict[Tuple[int, int], np.ndarray] = {}
+    # Launch every group's device call first (async), then pull results
+    # and run tracebacks — avoids serializing on device-link latency.
+    pending = []
     for (ploidy, r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
@@ -245,9 +247,14 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         result = _dispatch_beam(alleles, weights, nreads, eps, ploidy,
                                 options.max_number_solns, options,
                                 window=window)
+        pending.append((ploidy, members, result))
+
+    out: Dict[Tuple[int, int], np.ndarray] = {}
+    for ploidy, members, result in pending:
+        host = tuple(np.asarray(a) for a in result)
         for g, (j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
-                tuple(a[g] for a in result), bt.num_reads, ploidy)
+                tuple(a[g] for a in host), bt.num_reads, ploidy)
     return out
 
 
@@ -269,6 +276,8 @@ def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
         mesh = make_block_mesh(n_dev)
         return beam_search_sharded(mesh, alleles, weights, nreads, eps,
                                    ploidy, beam_width, window=window)
-    return jax_to_np(tuple(beam_kernel.beam_search_batch(
+    # Device arrays returned as-is; callers pull them after launching
+    # every group (async dispatch).
+    return tuple(beam_kernel.beam_search_batch(
         alleles, weights, nreads, eps, ploidy, beam_width,
-        window=window)))
+        window=window))
