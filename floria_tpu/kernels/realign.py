@@ -38,9 +38,17 @@ MATCH = 1.0
 MISMATCH = -1.0
 NEG = -1e9
 
-# Jobs per device dispatch; each job scores MAX_ALLELES variants. The
-# last chunk is padded to this size so exactly one shape ever compiles.
+# Jobs per on-device map step; the whole sweep is ONE dispatch with a
+# lax.map over chunks (chunk count bucketed to powers of two), because
+# per-dispatch latency on remote devices dwarfs the compute.
 CHUNK_JOBS = 32768
+
+
+@jax.jit
+def _nw_scores_chunked(q3: jax.Array, r3: jax.Array) -> jax.Array:
+    """[n_chunks, N, W] pairs -> [n_chunks, N] scores; chunks run
+    sequentially on device in one dispatch."""
+    return jax.lax.map(lambda qr: _nw_scores(qr[0], qr[1]), (q3, r3))
 
 
 @jax.jit
@@ -140,35 +148,22 @@ class SnpRealigner:
         snp_idx = np.concatenate(self._snp_idx)
         N = len(q)
         A = self.allele_mat.shape[1]
-        best = np.zeros(N, dtype=np.int8)
-        # Launch every chunk asynchronously and synchronize once — a
-        # per-chunk round trip serializes on device-link latency.
-        pending = []
-        for lo in range(0, N, CHUNK_JOBS):
-            hi = min(N, lo + CHUNK_JOBS)
-            n = hi - lo
-            pad = CHUNK_JOBS - n
-            qc = q[lo:hi]
-            rc = r[lo:hi]
-            si = snp_idx[lo:hi]
-            if pad:
-                qc = np.concatenate([qc, np.zeros((pad, WINDOW),
-                                                  np.uint8)])
-                rc = np.concatenate([rc, np.zeros((pad, WINDOW),
-                                                  np.uint8)])
-                si = np.concatenate([si, np.zeros(pad, np.int64)])
-            variants = np.repeat(rc[:, None, :], A, axis=1)
-            variants[:, :, FLANK] = self.allele_mat[si]
-            q_all = np.repeat(qc[:, None, :], A, axis=1)
-            pending.append((lo, hi, _nw_scores(
-                jnp.asarray(q_all.reshape(CHUNK_JOBS * A, WINDOW)),
-                jnp.asarray(variants.reshape(CHUNK_JOBS * A, WINDOW)))))
-        for lo, hi, dev_scores in pending:
-            n = hi - lo
-            scores = np.array(dev_scores).reshape(CHUNK_JOBS, A)[:n]
-            scores[np.arange(A)[None, :]
-                   >= self.n_alleles[snp_idx[lo:hi], None]] = -np.inf
-            best[lo:hi] = scores.argmax(axis=1)
+        n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
+        # Bucket the chunk count to powers of two so few shapes compile.
+        n_pad = 1 << (n_chunks - 1).bit_length() if n_chunks else 1
+        total = n_pad * CHUNK_JOBS
+        variants = np.zeros((total, A, WINDOW), np.uint8)
+        q_all = np.zeros((total, A, WINDOW), np.uint8)
+        variants[:N] = np.repeat(r[:, None, :], A, axis=1)
+        variants[:N, :, FLANK] = self.allele_mat[snp_idx]
+        q_all[:N] = np.repeat(q[:, None, :], A, axis=1)
+        scores = np.array(_nw_scores_chunked(
+            jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS * A, WINDOW)),
+            jnp.asarray(variants.reshape(n_pad, CHUNK_JOBS * A,
+                                         WINDOW)))).reshape(total, A)[:N]
+        scores[np.arange(A)[None, :]
+               >= self.n_alleles[snp_idx, None]] = -np.inf
+        best = scores.argmax(axis=1).astype(np.int8)
 
         off = 0
         for frag, snp_pos in self._targets:
