@@ -147,6 +147,70 @@ def apply_moves(assign: np.ndarray, diff: np.ndarray, ploidy: int,
     return new_assign
 
 
+class _GroupState:
+    """Lockstep-iteration state for one shape group."""
+
+    def __init__(self, alleles, weights, assigns, num_reads, epsilon,
+                 ploidy):
+        self.ploidy = ploidy
+        self.num_reads = num_reads
+        self.alleles = jax.device_put(alleles)
+        self.weights = jax.device_put(weights)
+        self.epsilon = jax.device_put(epsilon)
+        self.best = assigns.copy()
+        self.proposal = None
+        self.pending = None
+        self.diff = None
+        self.best_score = None
+        self.best_mec = None
+        self.active = np.ones(len(assigns), dtype=bool)
+
+    def launch(self, assigns):
+        self.pending = upem_eval_batch(self.alleles, self.weights,
+                                       jnp.asarray(assigns),
+                                       self.epsilon, self.ploidy)
+
+
+def optimize_many(groups) -> None:
+    """Drive many _GroupState lockstep loops together, launching every
+    group's eval before pulling any result — hides per-dispatch latency
+    across groups on remote devices. Mutates each group's .best/.best_mec
+    in place."""
+    for gs in groups:
+        gs.launch(gs.best)
+    for gs in groups:
+        diff, score, mec = (np.array(x) for x in gs.pending)
+        gs.diff, gs.best_score, gs.best_mec = diff, score, mec
+    for _ in range(constants.NUM_ITER_OPTIMIZE):
+        live = [gs for gs in groups if gs.active.any()]
+        if not live:
+            break
+        launched = []
+        for gs in live:
+            proposal = gs.best.copy()
+            for g in np.flatnonzero(gs.active):
+                proposal[g] = apply_moves(gs.best[g], gs.diff[g],
+                                          gs.ploidy,
+                                          int(gs.num_reads[g]))
+            changed = (proposal != gs.best).any(axis=1)
+            gs.active &= changed
+            if gs.active.any():
+                gs.proposal = proposal
+                gs.launch(proposal)
+                launched.append(gs)
+        if not launched:
+            break
+        for gs in launched:
+            new_diff, new_score, new_mec = (np.array(x)
+                                            for x in gs.pending)
+            improved = gs.active & (new_score > gs.best_score)
+            gs.best[improved] = gs.proposal[improved]
+            gs.best_score[improved] = new_score[improved]
+            gs.best_mec[improved] = new_mec[improved]
+            gs.diff[improved] = new_diff[improved]
+            gs.active &= improved
+
+
 def optimize_batch(alleles: np.ndarray, weights: np.ndarray,
                    assigns: np.ndarray, num_reads: np.ndarray,
                    epsilon: np.ndarray, ploidy: int

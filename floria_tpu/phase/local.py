@@ -174,7 +174,7 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     Returns ({(block, ploidy): refined assignment},
              {(block, ploidy): (bases, errors)}).
     """
-    from ..kernels.upem_batch import optimize_batch
+    from ..kernels.upem_batch import _GroupState, optimize_many
 
     groups: Dict[Tuple[int, int, int],
                  List[Tuple[int, BlockTensor]]] = {}
@@ -184,8 +184,7 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
                    _bucket_sites(bt.num_sites))
             groups.setdefault(key, []).append((j, bt))
 
-    refined: Dict[Tuple[int, int], np.ndarray] = {}
-    stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
+    states = []
     for (ploidy, r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
@@ -200,11 +199,18 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
             if ploidy > 1:
                 assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        new_assigns, mec = optimize_batch(alleles, weights, assigns,
-                                          nreads, eps, ploidy)
+        states.append((members, _GroupState(alleles, weights, assigns,
+                                            nreads, eps, ploidy)))
+
+    optimize_many([gs for _m, gs in states])
+
+    refined: Dict[Tuple[int, int], np.ndarray] = {}
+    stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
+    for members, gs in states:
         for g, (j, bt) in enumerate(members):
-            refined[(j, ploidy)] = new_assigns[g, :bt.num_reads]
-            stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))
+            refined[(j, gs.ploidy)] = gs.best[g, :bt.num_reads]
+            stats[(j, gs.ploidy)] = (float(gs.best_mec[g, 0]),
+                                     float(gs.best_mec[g, 1]))
     return refined, stats
 
 
