@@ -45,10 +45,23 @@ CHUNK_JOBS = 32768
 
 
 @jax.jit
-def _nw_scores_chunked(q3: jax.Array, r3: jax.Array) -> jax.Array:
-    """[n_chunks, N, W] pairs -> [n_chunks, N] scores; chunks run
-    sequentially on device in one dispatch."""
-    return jax.lax.map(lambda qr: _nw_scores(qr[0], qr[1]), (q3, r3))
+def _nw_scores_chunked(q3: jax.Array, r3: jax.Array,
+                       al3: jax.Array) -> jax.Array:
+    """One dispatch for the whole sweep: chunks [n, C, W] of read/ref
+    windows plus allele bytes [n, C, A]; allele variants are constructed
+    ON DEVICE (uploading pre-substituted windows would 4x the transfer).
+    Returns [n, C, A] scores."""
+    def one_chunk(args):
+        q, r, al = args                       # [C, W], [C, W], [C, A]
+        C, W = q.shape
+        A = al.shape[1]
+        var = jnp.repeat(r[:, None, :], A, axis=1)
+        var = var.at[:, :, FLANK].set(al)
+        qq = jnp.repeat(q[:, None, :], A, axis=1)
+        return _nw_scores(qq.reshape(C * A, W),
+                          var.reshape(C * A, W)).reshape(C, A)
+
+    return jax.lax.map(one_chunk, (q3, r3, al3))
 
 
 @jax.jit
@@ -149,18 +162,25 @@ class SnpRealigner:
         N = len(q)
         A = self.allele_mat.shape[1]
         n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
-        # Bucket the chunk count to powers of two so few shapes compile.
-        n_pad = 1 << (n_chunks - 1).bit_length() if n_chunks else 1
+        # Bucket the chunk count (multiples of 8, power-of-two for small)
+        # so few shapes compile while bounding padding waste.
+        if n_chunks <= 8:
+            n_pad = 1 << max(0, (n_chunks - 1)).bit_length()
+        else:
+            n_pad = ((n_chunks + 7) // 8) * 8
+        n_pad = max(n_pad, 1)
         total = n_pad * CHUNK_JOBS
-        variants = np.zeros((total, A, WINDOW), np.uint8)
-        q_all = np.zeros((total, A, WINDOW), np.uint8)
-        variants[:N] = np.repeat(r[:, None, :], A, axis=1)
-        variants[:N, :, FLANK] = self.allele_mat[snp_idx]
-        q_all[:N] = np.repeat(q[:, None, :], A, axis=1)
+        q_all = np.zeros((total, WINDOW), np.uint8)
+        r_all = np.zeros((total, WINDOW), np.uint8)
+        al_all = np.zeros((total, A), np.uint8)
+        q_all[:N] = q
+        r_all[:N] = r
+        al_all[:N] = self.allele_mat[snp_idx]
         scores = np.array(_nw_scores_chunked(
-            jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS * A, WINDOW)),
-            jnp.asarray(variants.reshape(n_pad, CHUNK_JOBS * A,
-                                         WINDOW)))).reshape(total, A)[:N]
+            jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
+            jnp.asarray(r_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
+            jnp.asarray(al_all.reshape(n_pad, CHUNK_JOBS, A)))
+        ).reshape(total, A)[:N]
         scores[np.arange(A)[None, :]
                >= self.n_alleles[snp_idx, None]] = -np.inf
         best = scores.argmax(axis=1).astype(np.int8)
