@@ -78,7 +78,12 @@ def pick_best_ploidy(mec_vector: np.ndarray, expected_errors: np.ndarray,
 # --- shape bucketing -------------------------------------------------------
 
 def _bucket_reads(r: int) -> int:
-    return max(16, 1 << (r - 1).bit_length())
+    """Power-of-two below 128, then 64-multiples: every padding read row
+    costs a full (wasted) scan step, so tighter buckets beat fewer
+    compile variants once blocks are large."""
+    if r <= 128:
+        return max(16, 1 << (r - 1).bit_length())
+    return round_up(r, 64)
 
 
 def _bucket_sites(s: int) -> int:
