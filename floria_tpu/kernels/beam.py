@@ -89,17 +89,39 @@ def beam_search_batch(alleles: jax.Array, weights: jax.Array,
              again (the tensor analog of the reference's haplotype
              truncation, types_structs.rs:327-376).
     """
+    G = alleles.shape[0]
+    num_parts = jnp.full(G, ploidy, dtype=jnp.int32)
+    return beam_search_batch_mixed(alleles, weights, num_reads, epsilon,
+                                   num_parts, ploidy, beam_width,
+                                   max_alleles, window)
+
+
+@functools.partial(jax.jit, static_argnames=("max_ploidy", "beam_width",
+                                             "max_alleles", "window"))
+def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
+                            num_reads: jax.Array, epsilon: jax.Array,
+                            num_parts: jax.Array, max_ploidy: int,
+                            beam_width: int,
+                            max_alleles: int = constants.MAX_ALLELES,
+                            window: int = 0) -> BeamResult:
+    """Mixed-ploidy batch: each instance phases into its own number of
+    parts (num_parts[g] <= max_ploidy); inactive parts are masked out of
+    scoring, pruning, and candidate selection, so one dispatch covers a
+    whole ploidy sweep. Beam slots are max_ploidy * beam_width wide with
+    per-instance warmup widths of num_parts * beam_width
+    (global_clustering.rs:50-55)."""
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
     fn = jax.vmap(functools.partial(
-        _beam_search_single, ploidy=ploidy, beam_width=beam_width,
+        _beam_search_single, ploidy=max_ploidy, beam_width=beam_width,
         max_alleles=max_alleles, window=window))
-    return BeamResult(*fn(alleles, weights, num_reads, epsilon))
+    return BeamResult(*fn(alleles, weights, num_reads, epsilon,
+                          num_parts.astype(jnp.int32)))
 
 
 def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-          eps, width, ploidy, out_slots, window):
+          eps, width, ploidy, out_slots, window, part_active=None):
     """Insert read t into every live beam; keep the best `width` of the
     top `out_slots` candidates. counts: [B, P, A, S]; compute touches
     only the `window` columns starting at off_t (see beam_search_batch).
@@ -129,8 +151,13 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
             + eps * (cov & empty).sum(-1))
     pval = binom_tail_jnp(same + diff, diff, eps, div)      # [B, P]
+    if part_active is not None:
+        # Inactive parts drop out of the posterior and the candidates.
+        pval = jnp.where(part_active[None, :], pval, -jnp.inf)
     lse = log_sum_exp_jnp(pval, axis=-1)                    # [B]
     keep = (pval - lse[:, None]) > cutoff
+    if part_active is not None:
+        keep = keep & part_active[None, :]
     cand = jnp.where(keep & live[:, None],
                      score[:, None] + diff, INF)            # [B, P]
 
@@ -187,8 +214,9 @@ def _window_offsets(covered_all, S, window):
     return off
 
 
-def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
-                        beam_width, max_alleles, window=0):
+def _beam_search_single(alleles, weights, num_reads, epsilon,
+                        num_parts=None, *, ploidy, beam_width,
+                        max_alleles, window=0):
     R, S = alleles.shape
     P = ploidy
     A = max_alleles
@@ -197,6 +225,12 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
     if window <= 0 or window > S:
         window = S
     eps = epsilon.astype(jnp.float32)
+    if num_parts is None:
+        part_active = None
+        warm_width = B1
+    else:
+        part_active = jnp.arange(P) < num_parts
+        warm_width = num_parts * W
 
     covered_all = alleles >= 0
     # One-hot over alleles with S minor: oh[r, a, s]
@@ -216,7 +250,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
         t, off_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
             counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-            eps, width=B1, ploidy=P, out_slots=B1, window=window)
+            eps, width=warm_width, ploidy=P, out_slots=B1,
+            window=window, part_active=part_active)
         return (counts, score, live), (parent, part)
 
     ts = jnp.arange(R, dtype=jnp.int32)
@@ -233,14 +268,15 @@ def _beam_search_single(alleles, weights, num_reads, epsilon, *, ploidy,
     counts, score, live, tr_parent, tr_part = _step(
         counts, score, live, jnp.int32(T1), offs[T1], covered_all[T1],
         weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
-        out_slots=W, window=window)
+        out_slots=W, window=window, part_active=part_active)
 
     def main_step(state, xs):
         counts, score, live = state
         t, off_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
             counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-            eps, width=W, ploidy=P, out_slots=W, window=window)
+            eps, width=W, ploidy=P, out_slots=W, window=window,
+            part_active=part_active)
         return (counts, score, live), (parent, part)
 
     (counts, score, live), (m_parents, m_parts) = jax.lax.scan(

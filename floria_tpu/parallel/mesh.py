@@ -40,8 +40,8 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
                         weights: np.ndarray, num_reads: np.ndarray,
-                        epsilon: np.ndarray, ploidy: int,
-                        beam_width: int,
+                        epsilon: np.ndarray, num_parts: np.ndarray,
+                        max_ploidy: int, beam_width: int,
                         window: int = 0) -> Tuple[np.ndarray, ...]:
     """Beam-search a batch of block instances sharded over the mesh.
 
@@ -64,34 +64,37 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
             [num_reads, np.zeros(pad, dtype=num_reads.dtype)])
         epsilon = np.concatenate(
             [epsilon, np.full(pad, 0.01, dtype=epsilon.dtype)])
+        num_parts = np.concatenate(
+            [num_parts, np.ones(pad, dtype=num_parts.dtype)])
 
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
-    fn = _sharded_beam_fn(mesh, ploidy, beam_width, window)
+    fn = _sharded_beam_fn(mesh, max_ploidy, beam_width, window)
     sharding = NamedSharding(mesh, P("block"))
     args = [jax.device_put(a, sharding)
-            for a in (alleles, weights, num_reads, epsilon)]
+            for a in (alleles, weights, num_reads, epsilon,
+                      np.asarray(num_parts, dtype=np.int32))]
     out = fn(*args)
     return tuple(np.asarray(a)[:G] for a in out)
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_beam_fn(mesh: Mesh, ploidy: int, beam_width: int,
+def _sharded_beam_fn(mesh: Mesh, max_ploidy: int, beam_width: int,
                      window: int):
     local = jax.vmap(functools.partial(
-        beam_kernel._beam_search_single, ploidy=ploidy,
+        beam_kernel._beam_search_single, ploidy=max_ploidy,
         beam_width=beam_width,
         max_alleles=beam_kernel.constants.MAX_ALLELES, window=window))
 
     spec = P("block")
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(spec, spec, spec, spec),
+                       in_specs=(spec, spec, spec, spec, spec),
                        out_specs=(spec,) * 6,
                        check_vma=False)
-    def run(alleles, weights, num_reads, epsilon):
-        return local(alleles, weights, num_reads, epsilon)
+    def run(alleles, weights, num_reads, epsilon, num_parts):
+        return local(alleles, weights, num_reads, epsilon, num_parts)
 
     return jax.jit(run)
 

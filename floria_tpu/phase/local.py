@@ -223,31 +223,38 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
                     options: Options,
                     ploidies) -> Dict[Tuple[int, int], np.ndarray]:
     """Run the beam kernel for every (block, ploidy) instance, batched by
-    (ploidy, padded reads, padded sites) shape bucket.
+    (padded reads, padded sites) shape bucket with mixed ploidies in one
+    dispatch (inactive parts masked — provably identical to per-ploidy
+    batches, tests/test_mixed_ploidy.py).
 
     Returns {(block_index, ploidy): assignment[num_reads]}.
     """
-    groups: Dict[Tuple[int, int, int], List[Tuple[int, BlockTensor]]] = {}
+    ploidies = list(ploidies)
+    groups: Dict[Tuple[int, int],
+                 List[Tuple[int, int, BlockTensor]]] = {}
     for ploidy in ploidies:
         for j, bt in blocks:
-            key = (ploidy, _bucket_reads(bt.num_reads),
+            key = (_bucket_reads(bt.num_reads),
                    _bucket_sites(bt.num_sites))
-            groups.setdefault(key, []).append((j, bt))
+            groups.setdefault(key, []).append((ploidy, j, bt))
 
     # Launch every group's device call first (async), then pull results
     # and run tracebacks — avoids serializing on device-link latency.
+    max_ploidy = max(ploidies) if ploidies else 1
     pending = []
-    for (ploidy, r_pad, s_pad), members in groups.items():
+    for (r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
         weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
         nreads = np.zeros(G, dtype=np.int32)
+        nparts = np.ones(G, dtype=np.int32)
         max_span = 0
-        for g, (_j, bt) in enumerate(members):
+        for g, (ploidy, _j, bt) in enumerate(members):
             r, s = bt.alleles.shape
             alleles[g, :r, :s] = bt.alleles
             weights[g, :r, :s] = bt.weights
             nreads[g] = bt.num_reads
+            nparts[g] = ploidy
             max_span = max(max_span, bt.max_read_span())
         eps = np.full(G, options.epsilon, dtype=np.float32)
         # Sliding compute window: columns behind the sorted-read frontier
@@ -255,15 +262,15 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         # span instead of the block width. Coarsely bucketed to limit
         # compile variants.
         window = min(s_pad, round_up(max_span + 128, 256))
-        result = _dispatch_beam(alleles, weights, nreads, eps, ploidy,
-                                options.max_number_solns, options,
-                                window=window)
-        pending.append((ploidy, members, result))
+        result = _dispatch_beam(alleles, weights, nreads, eps, nparts,
+                                max_ploidy, options.max_number_solns,
+                                options, window=window)
+        pending.append((members, result))
 
     out: Dict[Tuple[int, int], np.ndarray] = {}
-    for ploidy, members, result in pending:
+    for members, result in pending:
         host = tuple(np.asarray(a) for a in result)
-        for g, (j, bt) in enumerate(members):
+        for g, (ploidy, j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
                 tuple(a[g] for a in host), bt.num_reads, ploidy)
     return out
@@ -273,8 +280,8 @@ def jax_to_np(arrays):
     return tuple(np.asarray(a) for a in arrays)
 
 
-def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
-                   options: Options, window: int = 0):
+def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
+                   beam_width, options: Options, window: int = 0):
     """Single-device jit+vmap, or shard_map over a ('block',) mesh when
     several devices are available."""
     import jax
@@ -286,9 +293,10 @@ def _dispatch_beam(alleles, weights, nreads, eps, ploidy, beam_width,
         from ..parallel.mesh import beam_search_sharded, make_block_mesh
         mesh = make_block_mesh(n_dev)
         return beam_search_sharded(mesh, alleles, weights, nreads, eps,
-                                   ploidy, beam_width, window=window)
+                                   nparts, max_ploidy, beam_width,
+                                   window=window)
     # Device arrays returned as-is; callers pull them after launching
     # every group (async dispatch).
-    return tuple(beam_kernel.beam_search_batch(
-        alleles, weights, nreads, eps, ploidy, beam_width,
+    return tuple(beam_kernel.beam_search_batch_mixed(
+        alleles, weights, nreads, eps, nparts, max_ploidy, beam_width,
         window=window))

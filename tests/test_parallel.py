@@ -22,7 +22,9 @@ def test_sharded_matches_single_device():
     assert len(jax.devices()) == 8
     mesh = make_block_mesh()
     args = _toy_batch(G=11)  # non-multiple of 8 exercises padding
-    got = beam_search_sharded(mesh, *args, ploidy=2, beam_width=5)
+    nparts = np.full(11, 2, np.int32)
+    got = beam_search_sharded(mesh, *args, nparts, max_ploidy=2,
+                              beam_width=5)
     want = tuple(np.asarray(a) for a in beam_kernel.beam_search_batch(
         *args, ploidy=2, beam_width=5))
     for g, w in zip(got, want):
