@@ -11,6 +11,10 @@ epsilon objective strictly improves.
 The move *evaluation* (a reads x parts distance matrix) is the vectorized
 part; the move *application* is inherently sequential (part sizes update as
 moves land) and runs on host, exactly as the reference does it.
+
+This per-block implementation is the validated sequential baseline; the
+production pipeline uses the batched lockstep variant in upem_batch.py,
+which tests pin to this one.
 """
 
 from __future__ import annotations

@@ -16,6 +16,8 @@ values of earlier ploidies, never whether later ones ran.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -116,18 +118,15 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
     if not blocks:
         return []
 
-    import logging
-    import time as _time
-
     _log = logging.getLogger("floria_tpu")
-    t0 = _time.time()
+    t0 = time.time()
     assignments = phase_instances(
         blocks, options, ploidies=range(2, options.max_ploidy + 1))
     _log.info("Beam search: %d blocks x %d ploidies in %.2fs",
-              len(blocks), options.max_ploidy, _time.time() - t0)
-    t0 = _time.time()
+              len(blocks), options.max_ploidy, time.time() - t0)
+    t0 = time.time()
     refined, mec_stats = refine_instances(blocks, assignments, options)
-    _log.info("UPEM refinement in %.2fs", _time.time() - t0)
+    _log.info("UPEM refinement in %.2fs", time.time() - t0)
 
     results = []
     for j, bt in blocks:
@@ -274,10 +273,6 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
             out[(j, ploidy)] = beam_kernel.traceback(
                 tuple(a[g] for a in host), bt.num_reads, ploidy)
     return out
-
-
-def jax_to_np(arrays):
-    return tuple(np.asarray(a) for a in arrays)
 
 
 def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,

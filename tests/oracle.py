@@ -9,7 +9,6 @@ simple.
 
 from __future__ import annotations
 
-import heapq
 import math
 from typing import Dict, List, Sequence, Tuple
 
