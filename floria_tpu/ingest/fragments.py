@@ -176,6 +176,22 @@ def get_frags_from_bam(main_bam: bamlib.BamFile,
                        contig: str) -> Tuple[List[Frag], List[Frag]]:
     """Extract, realign, and merge fragments for one contig
     (file_reader.rs:343-462). Returns (frags with SNPs, frags without)."""
+    id_to_frags = collect_contig_records(main_bam, short_bam, contig_vcf,
+                                         options, ref_seq, contig,
+                                         realign_pool=None)
+    return finalize_frags(id_to_frags, contig_vcf, options)
+
+
+def collect_contig_records(main_bam: bamlib.BamFile,
+                           short_bam: Optional[bamlib.BamFile],
+                           contig_vcf: ContigVcf, options: Options,
+                           ref_seq: Optional[bytes], contig: str,
+                           realign_pool=None
+                           ) -> Dict[str, List[Tuple[int, Frag]]]:
+    """Record-level extraction + realignment queueing. With a shared
+    realign_pool the flush is the CALLER's job (one device dispatch per
+    contig group) and must happen before finalize_frags; without one,
+    realignment flushes here."""
     filter_supplementary = True
     use_supplementary = not options.dont_use_supp_aln
 
@@ -183,7 +199,7 @@ def get_frags_from_bam(main_bam: bamlib.BamFile,
     realigner = None
     if ref_seq is not None:
         from ..kernels.realign import SnpRealigner
-        realigner = SnpRealigner(ref_seq, contig_vcf)
+        realigner = SnpRealigner(ref_seq, contig_vcf, pool=realign_pool)
 
     for bam_obj in (short_bam, main_bam):
         if bam_obj is None:
@@ -212,9 +228,16 @@ def get_frags_from_bam(main_bam: bamlib.BamFile,
                 realigner.realign(frag)
             id_to_frags.setdefault(record.qname, []).append(
                 (record.flag, frag))
-    if realigner is not None:
+    if realigner is not None and realign_pool is None:
         realigner.flush()
+    return id_to_frags
 
+
+def finalize_frags(id_to_frags: Dict[str, List[Tuple[int, Frag]]],
+                   contig_vcf: ContigVcf, options: Options
+                   ) -> Tuple[List[Frag], List[Frag]]:
+    """Pair/supplementary merging + SNP split; realignment writes must
+    have landed first."""
     ref_frags = combine_frags(id_to_frags, contig_vcf, options)
     with_snps = [f for f in ref_frags if f.seq_dict]
     without_snps = [f for f in ref_frags if not f.seq_dict]

@@ -109,19 +109,31 @@ def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
 _OFFSETS = np.arange(-FLANK, FLANK)
 
 
+class RealignPool:
+    """Contig-agnostic job pool: windows + per-job allele candidates.
+    Shared across contigs so a whole contig group realigns in one
+    device dispatch."""
+
+    def __init__(self):
+        self._q: List[np.ndarray] = []
+        self._r: List[np.ndarray] = []
+        self._al: List[np.ndarray] = []
+        self._nal: List[np.ndarray] = []
+        self._targets: List = []  # (frag, snp_pos array per batch)
+
+
 class SnpRealigner:
     """Collects (read, SNP) realignment jobs with vectorized window
-    gathers and applies them in chunked batched device calls."""
+    gathers and applies them in chunked batched device calls. Pass a
+    shared RealignPool to batch several contigs into one flush."""
 
-    def __init__(self, ref_seq: bytes, contig_vcf: ContigVcf):
+    def __init__(self, ref_seq: bytes, contig_vcf: ContigVcf,
+                 pool: "RealignPool" = None):
         self.ref = np.frombuffer(ref_seq.upper(), dtype=np.uint8)
         self.cv = contig_vcf
         self.allele_mat = contig_vcf.allele_matrix()       # [n_snp, A]
         self.n_alleles = (self.allele_mat > 0).sum(axis=1)
-        self._q: List[np.ndarray] = []
-        self._r: List[np.ndarray] = []
-        self._snp_idx: List[np.ndarray] = []
-        self._targets: List = []  # (frag, snp_pos array per batch)
+        self.pool = pool if pool is not None else RealignPool()
 
     def realign(self, frag: Frag) -> None:
         """Queue one fragment (pure-Python ingest path: sites still live
@@ -148,51 +160,60 @@ class SnpRealigner:
             return
         gn = gn[ok]
         qp = qpos[ok]
-        self._q.append(seq[qp[:, None] + _OFFSETS])
-        self._r.append(self.ref[gn[:, None] + _OFFSETS])
-        self._snp_idx.append(snp_idx[ok])
-        self._targets.append((frag, snp_counters[ok]))
+        pool = self.pool
+        pool._q.append(seq[qp[:, None] + _OFFSETS])
+        pool._r.append(self.ref[gn[:, None] + _OFFSETS])
+        pool._al.append(self.allele_mat[snp_idx[ok]])
+        pool._nal.append(self.n_alleles[snp_idx[ok]])
+        pool._targets.append((frag, snp_counters[ok]))
 
     def flush(self) -> None:
-        if not self._targets:
-            return
-        q = np.concatenate(self._q)
-        r = np.concatenate(self._r)
-        snp_idx = np.concatenate(self._snp_idx)
-        N = len(q)
-        A = self.allele_mat.shape[1]
-        n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
-        # Bucket the chunk count (multiples of 8, power-of-two for small)
-        # so few shapes compile while bounding padding waste.
-        if n_chunks <= 8:
-            n_pad = 1 << max(0, (n_chunks - 1)).bit_length()
-        else:
-            n_pad = ((n_chunks + 7) // 8) * 8
-        n_pad = max(n_pad, 1)
-        total = n_pad * CHUNK_JOBS
-        q_all = np.zeros((total, WINDOW), np.uint8)
-        r_all = np.zeros((total, WINDOW), np.uint8)
-        al_all = np.zeros((total, A), np.uint8)
-        q_all[:N] = q
-        r_all[:N] = r
-        al_all[:N] = self.allele_mat[snp_idx]
-        scores = np.array(_nw_scores_chunked(
-            jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
-            jnp.asarray(r_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
-            jnp.asarray(al_all.reshape(n_pad, CHUNK_JOBS, A)))
-        ).reshape(total, A)[:N]
-        scores[np.arange(A)[None, :]
-               >= self.n_alleles[snp_idx, None]] = -np.inf
-        best = scores.argmax(axis=1).astype(np.int8)
+        """Flush this realigner's pool (a shared pool flushes every
+        contig's jobs at once)."""
+        flush_pool(self.pool)
 
-        off = 0
-        for frag, snp_pos in self._targets:
-            calls = best[off:off + len(snp_pos)]
-            off += len(snp_pos)
-            frag.seq_dict.update(
-                zip((int(p) for p in snp_pos),
-                    (int(b) for b in calls)))
-        self._q.clear()
-        self._r.clear()
-        self._snp_idx.clear()
-        self._targets.clear()
+
+def flush_pool(pool: RealignPool) -> None:
+    if not pool._targets:
+        return
+    q = np.concatenate(pool._q)
+    r = np.concatenate(pool._r)
+    al = np.concatenate(pool._al)
+    nal = np.concatenate(pool._nal)
+    N = len(q)
+    A = al.shape[1]
+    n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
+    # Bucket the chunk count (multiples of 8, power-of-two for small)
+    # so few shapes compile while bounding padding waste.
+    if n_chunks <= 8:
+        n_pad = 1 << max(0, (n_chunks - 1)).bit_length()
+    else:
+        n_pad = ((n_chunks + 7) // 8) * 8
+    n_pad = max(n_pad, 1)
+    total = n_pad * CHUNK_JOBS
+    q_all = np.zeros((total, WINDOW), np.uint8)
+    r_all = np.zeros((total, WINDOW), np.uint8)
+    al_all = np.zeros((total, A), np.uint8)
+    q_all[:N] = q
+    r_all[:N] = r
+    al_all[:N] = al
+    scores = np.array(_nw_scores_chunked(
+        jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
+        jnp.asarray(r_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
+        jnp.asarray(al_all.reshape(n_pad, CHUNK_JOBS, A)))
+    ).reshape(total, A)[:N]
+    scores[np.arange(A)[None, :] >= nal[:, None]] = -np.inf
+    best = scores.argmax(axis=1).astype(np.int8)
+
+    off = 0
+    for frag, snp_pos in pool._targets:
+        calls = best[off:off + len(snp_pos)]
+        off += len(snp_pos)
+        frag.seq_dict.update(
+            zip((int(p) for p in snp_pos),
+                (int(b) for b in calls)))
+    pool._q.clear()
+    pool._r.clear()
+    pool._al.clear()
+    pool._nal.clear()
+    pool._targets.clear()

@@ -57,6 +57,9 @@ class Options:
     resume: bool = False
     # Continue past per-contig failures instead of aborting the run.
     keep_going: bool = False
+    # Contigs per device-batch group: realignment and block phasing of a
+    # whole group share dispatches.
+    contig_batch: int = 16
     # Upper bound on block instances phased per device dispatch.
     device_batch_size: int = 64
     # If set, use this many devices for block sharding; None = all local.

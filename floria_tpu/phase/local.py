@@ -103,20 +103,40 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
                         options: Options,
                         debug_dir: Optional[str] = None
                         ) -> List[LocalBlockResult]:
-    """Phase every SNP block of a contig; returns one result per non-empty
-    block, in block order (empty blocks are dropped, like the None return
-    at graph_processing.rs:129-131)."""
-    ranges = get_range_with_lengths(snp_to_genome_pos, options.block_length,
-                                    options.block_length // 3,
-                                    options.snp_density)
-    blocks: List[Tuple[int, BlockTensor]] = []
-    for j, rng in enumerate(ranges):
-        reads = find_reads_in_interval(rng[0], rng[1], frags)
-        bt = pack_block(reads, rng)
-        if bt is not None:
-            blocks.append((j, bt))
+    """Phase every SNP block of one contig; returns one result per
+    non-empty block, in block order (empty blocks are dropped, like the
+    None return at graph_processing.rs:129-131)."""
+    return phase_contigs_blocks(
+        [("__single__", frags, snp_to_genome_pos, debug_dir)],
+        options)["__single__"]
+
+
+def phase_contigs_blocks(per_contig, options: Options
+                         ) -> Dict[object, List[LocalBlockResult]]:
+    """Phase the SNP blocks of MANY contigs in shared device batches.
+
+    per_contig: [(contig_key, sorted frozen frags, snp_to_genome_pos,
+    debug_dir or None)]. Blocks from every contig bucket together — an
+    instance is identified by (contig index, block index) — so a whole
+    contig group costs the same dispatch rounds as one contig.
+    """
+    blocks: List[Tuple[Tuple[int, int], BlockTensor]] = []
+    contig_frags = {}
+    for ci, (ckey, frags, snp_to_genome_pos, _dbg) in enumerate(
+            per_contig):
+        contig_frags[ci] = frags
+        ranges = get_range_with_lengths(
+            snp_to_genome_pos, options.block_length,
+            options.block_length // 3, options.snp_density)
+        for j, rng in enumerate(ranges):
+            reads = find_reads_in_interval(rng[0], rng[1], frags)
+            bt = pack_block(reads, rng)
+            if bt is not None:
+                blocks.append(((ci, j), bt))
+    out: Dict[object, List[LocalBlockResult]] = {
+        ckey: [] for ckey, *_rest in per_contig}
     if not blocks:
-        return []
+        return out
 
     _log = logging.getLogger("floria_tpu")
     t0 = time.time()
@@ -128,26 +148,28 @@ def phase_contig_blocks(frags: Sequence, snp_to_genome_pos: np.ndarray,
     refined, mec_stats = refine_instances(blocks, assignments, options)
     _log.info("UPEM refinement in %.2fs", time.time() - t0)
 
-    results = []
-    for j, bt in blocks:
+    for (ci, j), bt in blocks:
+        ckey = per_contig[ci][0]
+        debug_dir = per_contig[ci][3]
         mec_vector = np.zeros(options.max_ploidy)
         expected = np.zeros(options.max_ploidy)
         for ploidy in range(1, options.max_ploidy + 1):
-            good, bad = mec_stats[(j, ploidy)]
+            good, bad = mec_stats[((ci, j), ploidy)]
             mec_vector[ploidy - 1] = bad
             expected[ploidy - 1] = (good + bad) * options.epsilon
 
         best_ploidy = pick_best_ploidy(mec_vector, expected, options)
-        assignment = refined[(j, best_ploidy)]
+        assignment = refined[((ci, j), best_ploidy)]
         part_ids = [bt.frag_ids[assignment == p]
                     for p in range(best_ploidy)]
-        results.append(LocalBlockResult(
-            block_index=j, snp_range=bt.snp_range, best_ploidy=best_ploidy,
-            part_frag_ids=part_ids, mec_vector=mec_vector))
+        out[ckey].append(LocalBlockResult(
+            block_index=j, snp_range=bt.snp_range,
+            best_ploidy=best_ploidy, part_frag_ids=part_ids,
+            mec_vector=mec_vector))
         if debug_dir is not None:
             _dump_local_parts(debug_dir, j, bt, part_ids, best_ploidy,
-                              frags)
-    return results
+                              contig_frags[ci])
+    return out
 
 
 def _dump_local_parts(debug_dir: str, j: int, bt: BlockTensor, part_ids,

@@ -4,15 +4,22 @@ Top-level flow mirrors the reference driver (bin/floria.rs:204-391):
 ingest -> (hybrid polish) -> (monomorphic filter) -> block phasing (device
 batched) -> hap-graph -> LP flow -> widest paths -> final assignment ->
 SNP-less gap reads -> outputs.
+
+TPU-first deviation: contigs are processed in GROUPS — realignment jobs
+and SNP-block instances from every contig in a group batch into shared
+device dispatches (a block doesn't care which contig it came from), then
+the host-side join and outputs run per contig. The reference loops
+contigs strictly sequentially (floria.rs:229).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import shutil
 import time
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -24,11 +31,11 @@ from .graph.hapnode import HapNode, assign_ids, build_hap_node
 from .graph.paths import get_disjoint_paths
 from .ingest import bam as bamlib
 from .ingest.fasta import FastaFile
-from .ingest.fragments import get_frags_from_bam
+from .ingest.fragments import (collect_contig_records, finalize_frags)
 from .ingest.vcf import VcfProfile, read_vcf
 from .options import Options
 from .out.writers import write_outputs
-from .phase.local import phase_contig_blocks
+from .phase.local import LocalBlockResult, phase_contigs_blocks
 from .post.finalize import process_reads_for_final_parts
 from .post.snpless import frags_in_snpless_gaps
 
@@ -47,6 +54,18 @@ def open_bam(path: str):
         return bamlib.BamFile(path)
 
 
+@dataclasses.dataclass
+class _ContigState:
+    contig: str
+    out_dir: str
+    cv: object
+    ref_seq: Optional[bytes]
+    final_frags: List[Frag]
+    frags_without_snps: List[Frag]
+    short_frags: List[Frag]
+    debug_dir: Optional[str]
+
+
 def run(options: Options) -> None:
     options.validate()
     t0 = time.time()
@@ -59,6 +78,7 @@ def run(options: Options) -> None:
     fasta = (FastaFile(options.reference_fasta)
              if options.reference_fasta else None)
 
+    eligible = []
     warn_first = True
     for contig in contigs:
         if options.list_to_phase and contig not in options.list_to_phase:
@@ -72,81 +92,123 @@ def run(options: Options) -> None:
                     contig, options.snp_count_filter)
             warn_first = False
             continue
+        eligible.append(contig)
+
+    batch = max(1, options.contig_batch)
+    for lo in range(0, len(eligible), batch):
+        group = eligible[lo:lo + batch]
         try:
-            run_contig(contig, main_bam, short_bam, vcf_profile, fasta,
+            _run_group(group, main_bam, short_bam, vcf_profile, fasta,
                        options)
         except Exception:
-            # Per-contig failure isolation for large metagenomes: outputs
-            # are independent per contig, so one bad contig need not kill
-            # a 500-contig run (the reference panics,
-            # file_reader.rs:125/244).
-            if not options.keep_going:
-                raise
-            log.exception("Contig %s failed; --keep-going continues.",
-                          contig)
+            if not options.keep_going or len(group) == 1:
+                if not options.keep_going:
+                    raise
+                log.exception("Contig %s failed; --keep-going continues.",
+                              group[0])
+                continue
+            # Per-contig failure isolation: retry the group one contig at
+            # a time so one bad contig doesn't kill its neighbors.
+            for contig in group:
+                try:
+                    _run_group([contig], main_bam, short_bam,
+                               vcf_profile, fasta, options)
+                except Exception:
+                    log.exception(
+                        "Contig %s failed; --keep-going continues.",
+                        contig)
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 
-def run_contig(contig: str, main_bam: bamlib.BamFile,
-               short_bam: Optional[bamlib.BamFile],
+def _run_group(group: List[str], main_bam, short_bam,
                vcf_profile: VcfProfile, fasta: Optional[FastaFile],
                options: Options) -> None:
+    from .kernels.realign import RealignPool, flush_pool
+
     t0 = time.time()
-    cv = vcf_profile.get(contig)
-    ref_seq = fasta.fetch(contig) if fasta is not None else None
-    log.info("Reading and realigning inputs for contig %s.", contig)
-    all_frags, frags_without_snps = get_frags_from_bam(
-        main_bam, short_bam, cv, options, ref_seq, contig)
-    log.info("Number of reads passing filtering: %d", len(all_frags))
-    if not all_frags:
+    pool = RealignPool() if fasta is not None else None
+    collected = []
+    for contig in group:
+        cv = vcf_profile.get(contig)
+        ref_seq = fasta.fetch(contig) if fasta is not None else None
+        contig_out_dir = os.path.join(options.out_dir, contig)
+        if os.path.exists(contig_out_dir):
+            done = os.path.join(contig_out_dir, f"{contig}.vartigs")
+            if options.resume and os.path.exists(done):
+                log.info("Contig %s already phased; --resume skips it.",
+                         contig)
+                continue
+            if options.overwrite:
+                shutil.rmtree(contig_out_dir, ignore_errors=True)
+        log.info("Reading and realigning inputs for contig %s.", contig)
+        id_map = collect_contig_records(main_bam, short_bam, cv, options,
+                                        ref_seq, contig,
+                                        realign_pool=pool)
+        collected.append((contig, contig_out_dir, cv, ref_seq, id_map))
+    if pool is not None:
+        flush_pool(pool)
+
+    states: List[_ContigState] = []
+    for contig, contig_out_dir, cv, ref_seq, id_map in collected:
+        all_frags, frags_without_snps = finalize_frags(id_map, cv,
+                                                       options)
+        log.info("Number of reads passing filtering: %d (%s)",
+                 len(all_frags), contig)
+        if not all_frags:
+            continue
+        os.makedirs(contig_out_dir, exist_ok=True)
+        all_frags = sort_and_renumber(all_frags)
+        for f in all_frags:
+            f.freeze()
+        for f in frags_without_snps:
+            f.freeze()
+
+        short_frags: List[Frag] = []
+        if options.hybrid:
+            final_frags, short_frags = fragops.hybrid_correction(
+                all_frags)
+            final_frags = sort_and_renumber(final_frags)
+        else:
+            final_frags = all_frags
+        if options.ignore_monomorphic:
+            final_frags = fragops.remove_monomorphic_allele(
+                final_frags, options.epsilon)
+        debug_dir = (os.path.join(contig_out_dir, "local_parts")
+                     if log.isEnabledFor(logging.DEBUG) else None)
+        states.append(_ContigState(
+            contig=contig, out_dir=contig_out_dir, cv=cv,
+            ref_seq=ref_seq, final_frags=final_frags,
+            frags_without_snps=frags_without_snps,
+            short_frags=short_frags, debug_dir=debug_dir))
+    if not states:
         return
-
-    contig_out_dir = os.path.join(options.out_dir, contig)
-    if os.path.exists(contig_out_dir):
-        done_marker = os.path.join(contig_out_dir, f"{contig}.vartigs")
-        if options.resume and os.path.exists(done_marker):
-            log.info("Contig %s already phased; --resume skips it.",
-                     contig)
-            return
-        if options.overwrite:
-            shutil.rmtree(contig_out_dir, ignore_errors=True)
-    os.makedirs(contig_out_dir, exist_ok=True)
-
-    all_frags = sort_and_renumber(all_frags)
-    for f in all_frags:
-        f.freeze()
-    for f in frags_without_snps:
-        f.freeze()
-
-    short_frags: List[Frag] = []
-    if options.hybrid:
-        final_frags, short_frags = fragops.hybrid_correction(all_frags)
-        final_frags = sort_and_renumber(final_frags)
-    else:
-        final_frags = all_frags
-
-    if options.ignore_monomorphic:
-        final_frags = fragops.remove_monomorphic_allele(final_frags,
-                                                        options.epsilon)
-
-    snp_to_genome_pos = cv.genome_pos
     log.info("Reading inputs, realigning time taken %.2fs",
              time.time() - t0)
 
     phasing_t = time.time()
-    debug_dir = (os.path.join(contig_out_dir, "local_parts")
-                 if log.isEnabledFor(logging.DEBUG) else None)
-    results = phase_contig_blocks(final_frags, snp_to_genome_pos, options,
-                                  debug_dir=debug_dir)
+    results_by_contig = phase_contigs_blocks(
+        [(st.contig, st.final_frags, st.cv.genome_pos, st.debug_dir)
+         for st in states], options)
     log.info("Phasing time taken %.2fs", time.time() - phasing_t)
+
+    for st in states:
+        _finish_contig(st, results_by_contig.get(st.contig, []), options)
+
+
+def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
+                   options: Options) -> None:
+    contig = st.contig
+    final_frags = st.final_frags
+    snp_to_genome_pos = st.cv.genome_pos
+    contig_len = (len(st.ref_seq) if st.ref_seq is not None
+                  else int(snp_to_genome_pos[-1]) + 1)
+
     if not results:
         # No phasable blocks: still emit (empty) outputs like the
         # reference does with an empty hap-graph
         # (graph_processing.rs:366-367 -> write_outputs).
-        contig_len = len(ref_seq) if ref_seq is not None else (
-            int(snp_to_genome_pos[-1]) + 1)
-        write_outputs([], [], contig_out_dir, contig, final_frags,
-                      snp_to_genome_pos, options, frags_without_snps,
+        write_outputs([], [], st.out_dir, contig, final_frags,
+                      snp_to_genome_pos, options, st.frags_without_snps,
                       contig_len)
         return
 
@@ -157,8 +219,8 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
         column = len(hap_graph)
         block_nodes = []
         for row, ids in enumerate(res.part_frag_ids):
-            node = build_hap_node(final_frags, ids, res.snp_range, column,
-                                  row)
+            node = build_hap_node(final_frags, ids, res.snp_range,
+                                  column, row)
             block_nodes.append(node)
         hap_graph.append(block_nodes)
     assign_ids(hap_graph)
@@ -172,26 +234,24 @@ def run_contig(contig: str, main_bam: bamlib.BamFile,
     if log.isEnabledFor(logging.DEBUG):
         from .graph.paths import write_pet_graph_dot
         write_pet_graph_dot(hap_graph,
-                            os.path.join(contig_out_dir, "pet_graph.dot"))
+                            os.path.join(st.out_dir, "pet_graph.dot"))
     if options.do_binning:
         from .post.binning import bin_haplogroups
-        haplogroups = bin_haplogroups(haplogroups, cv,
+        haplogroups = bin_haplogroups(haplogroups, st.cv,
                                       options.block_length)
 
     # Hybrid short frags join the same id space after the long frags.
     combined = list(final_frags)
-    for f in short_frags:
+    for f in st.short_frags:
         f.counter_id = len(combined)
         combined.append(f)
 
     parts, ranges = process_reads_for_final_parts(
-        haplogroups, combined, short_frags, options)
+        haplogroups, combined, st.short_frags, options)
 
     snpless = frags_in_snpless_gaps(ranges, snp_to_genome_pos,
-                                    frags_without_snps,
+                                    st.frags_without_snps,
                                     options.block_length, final_frags)
 
-    contig_len = len(ref_seq) if ref_seq is not None else (
-        int(snp_to_genome_pos[-1]) + 1)
-    write_outputs(parts, ranges, contig_out_dir, contig, combined,
+    write_outputs(parts, ranges, st.out_dir, contig, combined,
                   snp_to_genome_pos, options, snpless, contig_len)
