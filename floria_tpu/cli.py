@@ -94,10 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Debugging output.")
     p.add_argument("--trace", action="store_true", help="Trace output.")
     tpu = p.add_argument_group("TPU")
-    tpu.add_argument("--device-batch-size", type=int, default=64,
-                     help="Block instances per device dispatch.")
-    tpu.add_argument("--no-device", action="store_true",
-                     help="Force the pure-host phasing path.")
+    tpu.add_argument("--contig-batch", type=int, default=16,
+                     help="Contigs per shared device-batch group.")
+    tpu.add_argument("--num-devices", type=int, default=None,
+                     help="Devices to shard block batches over "
+                          "(default: all local devices).")
     tpu.add_argument("--resume", action="store_true",
                      help="Skip contigs whose outputs already exist "
                           "(per-contig checkpointing).")
@@ -163,9 +164,8 @@ def options_from_args(args: argparse.Namespace) -> Options:
         output_reads=args.output_reads, out_dir=out_dir,
         overwrite=args.overwrite, num_threads=args.threads,
         list_to_phase=list(args.list_to_phase),
-        device_batch_size=args.device_batch_size,
-        use_device=not args.no_device, resume=args.resume,
-        keep_going=args.keep_going)
+        contig_batch=args.contig_batch, num_devices=args.num_devices,
+        resume=args.resume, keep_going=args.keep_going)
 
 
 def main(argv=None) -> None:

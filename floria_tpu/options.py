@@ -60,12 +60,8 @@ class Options:
     # Contigs per device-batch group: realignment and block phasing of a
     # whole group share dispatches.
     contig_batch: int = 16
-    # Upper bound on block instances phased per device dispatch.
-    device_batch_size: int = 64
     # If set, use this many devices for block sharding; None = all local.
     num_devices: Optional[int] = None
-    # Run device kernels; False forces the pure-host reference path.
-    use_device: bool = True
 
     def validate(self) -> None:
         if not (1 <= self.ploidy_sensitivity <= 3):
