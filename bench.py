@@ -1,30 +1,37 @@
-"""Benchmark: device beam-search phasing throughput (reads/s/chip).
+"""Benchmark: device beam-search phasing throughput vs a MEASURED
+single-core CPU baseline, plus an end-to-end pipeline metric.
 
-Measures the framework's dominant kernel — the batched beam-search ploidy
-sweep (SURVEY.md §3.2: beam scoring dominates the reference's runtime) —
-on a synthetic 3-strain workload shaped like real long-read blocks
-(R reads x S SNPs, ploidy sweep 2..5, beam width 10), batched G blocks per
-dispatch as the pipeline does.
+Kernel metric: unique (read, block) insertions per second through the
+batched beam-search ploidy sweep (SURVEY.md §3.2: beam scoring dominates
+the reference's runtime) on a synthetic 3-strain workload shaped like
+real long-read blocks (R reads x S SNPs, ploidy sweep 2..5, beam width
+10), batched G blocks per dispatch as the pipeline does.
 
-Metric: unique (read, block) insertions per second, with the full ploidy
-sweep included in the cost — directly comparable to the reference, whose
-per-block loop also runs the sweep (graph_processing.rs:132-252).
+vs_baseline: the reference publishes no numbers (BASELINE.md) and no Rust
+toolchain exists in this image, so the denominator is MEASURED from
+native/baseline.cpp's `faithful` variant — a single-core C++ port of the
+reference's inner loop that reproduces the exact oracle semantics
+(hashmap haplotypes, truncated block clones, duplicate-block dedup;
+validated read-for-read against tests/oracle.py in tests/test_native.py)
+— run on a slice of the same workload in the same process. The dense
+(generous, no-hashmap, no-dedup) C++ upper bound is also reported.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md), and no Rust
-toolchain exists in this image, so the baseline is a first-principles
-estimate of single-core Rust floria: ~30-60us per (read, beam, part)
-hashmap-walk insert, beam 10, warmup 25 reads at ploidy*10 beams, summed
-over the 2..5 sweep => ~0.5ms per read full sweep => ~2000 reads/s
-single-core. The >=10x north-star target therefore sits at 20_000.
+e2e metric: the 2-strain E. coli config from BASELINE.md (1 Mbp, 50k
+SNPs, ~100x => ~11k reads) through the full pipeline (ingest ->
+realign -> beam -> UPEM -> graph/LP -> outputs), reads/s end to end.
+Simulated input is cached under .bench_cache/ so repeat runs skip
+generation.
 """
 
 import json
+import os
+import shutil
 import sys
 import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 2000.0
+FALLBACK_BASELINE_READS_PER_SEC = 2000.0  # used only if native build fails
 
 
 def make_workload(G, R, S, num_strains=3, epsilon=0.02, seed=0):
@@ -52,16 +59,12 @@ def make_workload(G, R, S, num_strains=3, epsilon=0.02, seed=0):
     return alleles, weights, num_reads, eps
 
 
-def main():
-    quick = "--quick" in sys.argv
-    import jax
-
+def measure_kernel(args, quick):
     from floria_tpu.kernels.beam import beam_search_batch
 
-    G, R, S = (8, 64, 128) if quick else (32, 256, 256)
+    G, R, _S = args[0].shape
     ploidies = (2, 3, 4, 5)
     iters = 2 if quick else 3
-    args = make_workload(G, R, S)
 
     def sweep():
         outs = []
@@ -75,14 +78,99 @@ def main():
     for _ in range(iters):
         sweep()
     elapsed = time.time() - t0
+    return G * R * iters / elapsed
 
-    reads_per_sec = G * R * iters / elapsed
-    print(json.dumps({
+
+def measure_cpu_baseline(args, quick):
+    """Measured single-core denominators: (faithful, dense) reads/s, or
+    (None, None) when the native toolchain is unavailable."""
+    from floria_tpu import native
+
+    if native.get_lib() is None:
+        return None, None
+    alleles, weights, _nr, eps = args
+    g_sub = 2 if quick else 4
+    a = alleles[:g_sub]
+    w = weights[:g_sub]
+    out = []
+    for faithful in (True, False):
+        t0 = time.time()
+        n = native.baseline_sweep(a, w, [2, 3, 4, 5], 10,
+                                  float(eps[0]), faithful=faithful)
+        out.append(n / (time.time() - t0))
+    return out[0], out[1]
+
+
+def measure_e2e(quick):
+    """Full-pipeline reads/s on the BASELINE.md E. coli config (small
+    community under --quick). Returns (reads_per_sec, seconds, n_reads)."""
+    from floria_tpu.options import Options
+    from floria_tpu.pipeline import run
+    from floria_tpu.sim.simulate import SimConfig, simulate
+
+    if quick:
+        cfg = SimConfig(contig_len=60_000, num_strains=2, num_snps=400,
+                        coverage_per_strain=8.0, read_length=6_000,
+                        read_length_sd=1_000.0, error_rate=0.02, seed=11)
+        tag = "quick2"
+    else:
+        cfg = SimConfig(contig_len=1_000_000, num_strains=2,
+                        num_snps=50_000, coverage_per_strain=50.0,
+                        read_length=9_000, read_length_sd=1_500.0,
+                        error_rate=0.02, seed=11)
+        tag = "ecoli2"
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", tag)
+    if not os.path.exists(os.path.join(cache, "sim.bam")):
+        simulate(cfg, cache)
+    out_dir = os.path.join(cache, "out")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    opts = Options(bam_file=os.path.join(cache, "sim.bam"),
+                   vcf_file=os.path.join(cache, "sim.vcf"),
+                   reference_fasta=os.path.join(cache, "sim.fa"),
+                   out_dir=out_dir, overwrite=True)
+    t0 = time.time()
+    run(opts)
+    elapsed = time.time() - t0
+    # Count phased reads (haploset members + snpless) from the outputs.
+    n_reads = 0
+    contig_dir = os.path.join(out_dir, cfg.contig_name)
+    hs = os.path.join(contig_dir, f"{cfg.contig_name}.haplosets")
+    if os.path.exists(hs):
+        with open(hs) as fh:
+            n_reads += sum(1 for line in fh if not line.startswith(">"))
+    return n_reads / elapsed, elapsed, n_reads
+
+
+def main():
+    quick = "--quick" in sys.argv
+    skip_e2e = "--no-e2e" in sys.argv
+
+    G, R, S = (8, 64, 128) if quick else (32, 256, 256)
+    args = make_workload(G, R, S)
+
+    kernel_rps = measure_kernel(args, quick)
+    base_faithful, base_dense = measure_cpu_baseline(args, quick)
+    denom = base_faithful or FALLBACK_BASELINE_READS_PER_SEC
+
+    result = {
         "metric": "reads_per_sec_per_chip",
-        "value": round(reads_per_sec, 1),
+        "value": round(kernel_rps, 1),
         "unit": "reads/s (full 2..5 ploidy sweep, beam 10)",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 2),
-    }))
+        "vs_baseline": round(kernel_rps / denom, 2),
+        "baseline_cpu_faithful_reads_per_sec": (
+            round(base_faithful, 1) if base_faithful else None),
+        "baseline_cpu_dense_reads_per_sec": (
+            round(base_dense, 1) if base_dense else None),
+        "baseline_measured": base_faithful is not None,
+    }
+    if not skip_e2e:
+        e2e_rps, e2e_s, e2e_reads = measure_e2e(quick)
+        result["e2e_reads_per_sec"] = round(e2e_rps, 1)
+        result["e2e_seconds"] = round(e2e_s, 1)
+        result["e2e_reads"] = e2e_reads
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_int32, ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    lib.floria_baseline_sweep.restype = ctypes.c_int64
+    lib.floria_baseline_sweep.argtypes = [
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -66,6 +74,34 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def baseline_sweep(alleles: np.ndarray, weights: np.ndarray,
+                   ploidies, beam_width: int, epsilon: float,
+                   max_alleles: int = 2, do_upem: bool = False,
+                   faithful: bool = False, want_assign: bool = False):
+    """Run the single-core C++ reference-semantics baseline
+    (native/baseline.cpp) over [G, R, S] blocks. faithful=True uses the
+    hashmap-based variant mirroring the reference's data structures.
+    Returns the assignment array [G, R] for the last ploidy when
+    want_assign, else the number of reads processed; None if the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    alleles = np.ascontiguousarray(alleles, dtype=np.int8)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    G, R, S = alleles.shape
+    pl = np.ascontiguousarray(ploidies, dtype=np.int32)
+    out = np.zeros((G, R), dtype=np.int32) if want_assign else None
+    out_ptr = out.ctypes.data_as(ctypes.c_void_p) if want_assign else None
+    n = lib.floria_baseline_sweep(
+        alleles.reshape(-1), weights.reshape(-1), G, R, S, pl, len(pl),
+        beam_width, epsilon, max_alleles, int(do_upem), int(faithful),
+        out_ptr)
+    if want_assign:
+        return out
+    return int(n)
 
 
 def solve_flow(ae: np.ndarray,

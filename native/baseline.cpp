@@ -1,0 +1,528 @@
+// Single-core CPU baseline of the reference's per-block phasing inner
+// loop, used to MEASURE the denominator for bench.py's vs_baseline
+// (the reference publishes no numbers and no Rust toolchain exists in
+// this image — BASELINE.md).
+//
+// Semantics ported (not copied) from the reference:
+//   - beam search over reads sorted by start, beam widening for the
+//     first 25 reads (global_clustering.rs:49-55), binomial-tail
+//     posterior pruning at ln(0.01) (global_clustering.rs:97-98),
+//     cumulative-MEC node score (global_clustering.rs:181-208);
+//   - UPEM hill-climb, <=20 iterations of capped best-move application
+//     (local_clustering.rs:71-130, 292-358).
+//
+// Implementation choices are deliberately GENEROUS to the baseline —
+// faster than a faithful Rust port would be — so the measured
+// denominator over-, not under-estimates the reference:
+//   - dense per-part count arrays instead of FxHashMap<pos, map> walks;
+//   - the duplicate-block heap scan (global_clustering.rs:122-127),
+//     an O(beam * P * S) cost per insert in the reference, is skipped;
+//   - haplotype truncation (types_structs.rs:327-376) is realized as a
+//     frozen-prefix window copy: children copy only columns at or
+//     after the read frontier (columns behind the sorted-read frontier
+//     are never read again).
+//
+// Exposed via a C API driven by bench.py on the exact same synthetic
+// workload the device kernel is timed on.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+constexpr int kWarmupReads = 25;       // global_clustering.rs:50-55
+constexpr double kDivFactor = 0.25;    // constants.rs DIV_FACTOR
+constexpr double kProbCutoff = 0.01;   // constants.rs PROB_CUTOFF
+constexpr int kNumIterOptimize = 20;   // constants.rs NUM_ITER_OPTIMIZE
+
+// Log-domain large-deviation binomial tail (utils_frags.rs:211-248).
+double binom_tail(double n_f, double k_f, double p, double div) {
+  double n = std::floor(n_f);
+  double k = std::floor(k_f);
+  if (n == 0.0) return 0.0;
+  double a = k / n;
+  if (a == 1.0) a = 0.9999999;
+  if (a == 0.0) a = 0.0000001;
+  double rel_ent =
+      a * std::log(a / p) + (1.0 - a) * std::log((1.0 - a) / (1.0 - p));
+  if (a < p) rel_ent = -rel_ent;
+  return -n / div * rel_ent;
+}
+
+struct Site {
+  int col;
+  int allele;
+  float weight;
+};
+
+struct Read {
+  std::vector<Site> sites;
+  int first_col = 0;
+};
+
+// Beam node: per-part allele counts, valid for columns >= frontier.
+struct Node {
+  double score = 0.0;
+  int frontier = 0;             // columns < frontier are stale
+  std::vector<float> counts;    // [P][A][S]
+  std::vector<int8_t> assign;   // read -> part (for validation)
+};
+
+// (same, diff) of a read vs one part's counts with epsilon-empty and
+// max-tie forgiveness (utils_frags.rs:32-75).
+inline void dist_eps(const Read& read, const float* part, int A, int S,
+                     double eps, double* same_out, double* diff_out) {
+  double same = 0.0, diff = 0.0;
+  for (const Site& st : read.sites) {
+    float maxc = 0.0f;
+    for (int a = 0; a < A; ++a) maxc = std::max(maxc, part[a * S + st.col]);
+    if (maxc == 0.0f) {
+      diff += eps;
+    } else if (part[st.allele * S + st.col] == maxc) {
+      same += st.weight;
+    } else {
+      diff += st.weight;
+    }
+  }
+  *same_out = same;
+  *diff_out = diff;
+}
+
+std::vector<int8_t> beam_search_block(const std::vector<Read>& reads,
+                                      int P, int A, int S, double eps,
+                                      int beam_width) {
+  const double cutoff = std::log(kProbCutoff);
+  const int R = static_cast<int>(reads.size());
+  const size_t tensor = static_cast<size_t>(P) * A * S;
+
+  std::vector<Node> beam(1);
+  beam[0].counts.assign(tensor, 0.0f);
+  beam[0].assign.assign(R, -1);
+
+  std::vector<Node> next;
+  std::vector<double> pvals(P), diffs(P);
+  for (int i = 0; i < R; ++i) {
+    const Read& read = reads[i];
+    const int width = i < kWarmupReads ? P * beam_width : beam_width;
+    next.clear();
+    double worst = 1e300;  // max score currently kept, valid when full
+    for (const Node& node : beam) {
+      double m = -1e300;
+      for (int j = 0; j < P; ++j) {
+        double same, diff;
+        dist_eps(read, node.counts.data() + static_cast<size_t>(j) * A * S,
+                 A, S, eps, &same, &diff);
+        pvals[j] = binom_tail(same + diff, diff, eps, kDivFactor);
+        diffs[j] = diff;
+        m = std::max(m, pvals[j]);
+      }
+      double lse = 0.0;
+      for (int j = 0; j < P; ++j) lse += std::exp(pvals[j] - m);
+      lse = m + std::log(lse);
+      for (int j = 0; j < P; ++j) {
+        if (pvals[j] - lse <= cutoff) continue;
+        const double child_score = node.score + diffs[j];
+        if (static_cast<int>(next.size()) >= width && child_score >= worst)
+          continue;  // would be popped immediately; skip the copy
+        Node child;
+        child.score = child_score;
+        child.frontier = read.first_col;
+        child.counts.resize(tensor);
+        // Frozen-prefix copy: only columns >= the new frontier matter.
+        const int f = read.first_col;
+        for (int j2 = 0; j2 < P; ++j2)
+          for (int a = 0; a < A; ++a) {
+            const size_t off = (static_cast<size_t>(j2) * A + a) * S + f;
+            std::memcpy(child.counts.data() + off, node.counts.data() + off,
+                        sizeof(float) * (S - f));
+          }
+        for (const Site& st : read.sites)
+          child.counts[(static_cast<size_t>(j) * A + st.allele) * S +
+                       st.col] += st.weight;
+        child.assign = node.assign;
+        child.assign[i] = static_cast<int8_t>(j);
+        next.push_back(std::move(child));
+        std::push_heap(next.begin(), next.end(),
+                       [](const Node& x, const Node& y) {
+                         return x.score < y.score;
+                       });
+        if (static_cast<int>(next.size()) > width) {
+          std::pop_heap(next.begin(), next.end(),
+                        [](const Node& x, const Node& y) {
+                          return x.score < y.score;
+                        });
+          next.pop_back();
+        }
+        worst = next.front().score;
+      }
+    }
+    if (!next.empty()) beam.swap(next);
+  }
+
+  const Node* best = &beam[0];
+  for (const Node& n : beam)
+    if (n.score < best->score) best = &n;
+  return best->assign;
+}
+
+// One UPEM hill-climb iteration (local_clustering.rs:292-358): collect
+// beneficial single-read moves, sort by gain desc (stable), apply a
+// capped prefix without emptying any part.
+bool opt_iterate(const std::vector<Read>& reads, int P, int A, int S,
+                 double eps, std::vector<int8_t>* assign,
+                 std::vector<float>* counts /* [P][A][S] scratch */) {
+  const int R = static_cast<int>(reads.size());
+  std::fill(counts->begin(), counts->end(), 0.0f);
+  std::vector<int> sizes(P, 0);
+  for (int r = 0; r < R; ++r) {
+    const int p = (*assign)[r];
+    ++sizes[p];
+    for (const Site& st : reads[r].sites)
+      (*counts)[(static_cast<size_t>(p) * A + st.allele) * S + st.col] +=
+          st.weight;
+  }
+  struct Move {
+    double gain;
+    int r, from, to;
+  };
+  std::vector<Move> moves;
+  for (int r = 0; r < R; ++r) {
+    const int i = (*assign)[r];
+    if (sizes[i] <= 1) continue;
+    double own_same, own_diff;
+    dist_eps(reads[r], counts->data() + static_cast<size_t>(i) * A * S, A,
+             S, eps, &own_same, &own_diff);
+    for (int j = 0; j < P; ++j) {
+      if (j == i) continue;
+      double s2, other;
+      dist_eps(reads[r], counts->data() + static_cast<size_t>(j) * A * S,
+               A, S, eps, &s2, &other);
+      if (own_diff - other > 0.0) moves.push_back({own_diff - other, r, i, j});
+    }
+  }
+  if (moves.empty()) return false;
+  std::stable_sort(moves.begin(), moves.end(),
+                   [](const Move& x, const Move& y) {
+                     return x.gain > y.gain;
+                   });
+  size_t n_moves = moves.size() / 10;
+  if (n_moves == 0) n_moves = moves.size() / 3 + 1;
+  std::vector<char> moved(R, 0);
+  bool changed = false;
+  std::vector<int> cur(sizes);
+  for (size_t m = 0; m < moves.size(); ++m) {
+    const Move& mv = moves[m];
+    if (moved[mv.r]) continue;
+    if (cur[mv.from] == 1) continue;
+    (*assign)[mv.r] = static_cast<int8_t>(mv.to);
+    ++cur[mv.to];
+    --cur[mv.from];
+    moved[mv.r] = 1;
+    changed = true;
+    if (m > n_moves) break;
+  }
+  return changed;
+}
+
+// Phred MEC-epsilon score of a partition (local_clustering.rs:218-260).
+double partition_score(const std::vector<Read>& reads, int P, int A, int S,
+                       double eps, const std::vector<int8_t>& assign,
+                       std::vector<float>* counts) {
+  std::fill(counts->begin(), counts->end(), 0.0f);
+  for (size_t r = 0; r < reads.size(); ++r) {
+    const int p = assign[r];
+    for (const Site& st : reads[r].sites)
+      (*counts)[(static_cast<size_t>(p) * A + st.allele) * S + st.col] +=
+          st.weight;
+  }
+  double errors = 0.0;
+  for (int p = 0; p < P; ++p)
+    for (int s = 0; s < S; ++s) {
+      float maxc = 0.0f, total = 0.0f;
+      for (int a = 0; a < A; ++a) {
+        const float c = (*counts)[(static_cast<size_t>(p) * A + a) * S + s];
+        maxc = std::max(maxc, c);
+        total += c;
+      }
+      if (total > 0.0f) {
+        errors += total - maxc;
+        if (maxc <= 1.0f) errors += eps;
+      }
+    }
+  return -errors;
+}
+
+void upem_optimize(const std::vector<Read>& reads, int P, int A, int S,
+                   double eps, std::vector<int8_t>* assign) {
+  std::vector<float> counts(static_cast<size_t>(P) * A * S);
+  double best_score = partition_score(reads, P, A, S, eps, *assign, &counts);
+  std::vector<int8_t> best = *assign;
+  for (int it = 0; it < kNumIterOptimize; ++it) {
+    if (!opt_iterate(reads, P, A, S, eps, assign, &counts)) break;
+    const double s = partition_score(reads, P, A, S, eps, *assign, &counts);
+    if (s > best_score) {
+      best_score = s;
+      best = *assign;
+    } else {
+      break;  // keep best, stop (local_clustering.rs:102-118)
+    }
+  }
+  *assign = best;
+}
+
+// ---------------------------------------------------------------------------
+// Faithful variant: mirrors the reference's DATA-STRUCTURE choices so the
+// measured single-core number is representative of what the Rust binary
+// actually does per candidate, rather than of an idealized dense rewrite:
+//   - haplotypes are hash maps keyed by SNP position (Haplotype =
+//     FxHashMap<SnpPosition, FxHashMap<Genotype, _>>, types_structs.rs:15)
+//     — realized as an fxhash-style open-addressing flat map (generous:
+//     flat values[4] instead of a nested map);
+//   - every accepted candidate clones a TRUNCATED copy of all P maps
+//     (build_truncated_hap_block, types_structs.rs:327-376);
+//   - every candidate insert scans the current heap comparing whole
+//     blocks for the duplicate check (global_clustering.rs:122-127).
+
+// fxhash-style mixing (the reference's FxHashMap hasher).
+inline uint64_t fx_mix(uint64_t k) {
+  return (k * 0x51'7c'c1'b7'27'22'0a'95ULL) ^ (k >> 32);
+}
+
+struct FlatHap {
+  // Open-addressing map: pos -> float[kA] counts. Tombstone-free
+  // (no deletions; truncation builds a fresh map, like the reference).
+  static constexpr int kA = 4;
+  std::vector<uint32_t> keys;    // 0xffffffff = empty
+  std::vector<float> vals;       // capacity * kA
+  size_t size = 0;
+  uint32_t mask = 0;
+
+  explicit FlatHap(size_t cap_hint = 8) {
+    size_t cap = 8;
+    while (cap < cap_hint * 2) cap <<= 1;
+    keys.assign(cap, 0xffffffffu);
+    vals.assign(cap * kA, 0.0f);
+    mask = static_cast<uint32_t>(cap - 1);
+  }
+  float* find(uint32_t pos) {
+    uint32_t i = static_cast<uint32_t>(fx_mix(pos)) & mask;
+    while (true) {
+      if (keys[i] == pos) return &vals[static_cast<size_t>(i) * kA];
+      if (keys[i] == 0xffffffffu) return nullptr;
+      i = (i + 1) & mask;
+    }
+  }
+  const float* find(uint32_t pos) const {
+    return const_cast<FlatHap*>(this)->find(pos);
+  }
+  float* insert(uint32_t pos) {
+    if ((size + 1) * 2 > keys.size()) grow();
+    uint32_t i = static_cast<uint32_t>(fx_mix(pos)) & mask;
+    while (true) {
+      if (keys[i] == pos) return &vals[static_cast<size_t>(i) * kA];
+      if (keys[i] == 0xffffffffu) {
+        keys[i] = pos;
+        ++size;
+        return &vals[static_cast<size_t>(i) * kA];
+      }
+      i = (i + 1) & mask;
+    }
+  }
+  void grow() {
+    FlatHap bigger(keys.size());
+    for (size_t i = 0; i < keys.size(); ++i)
+      if (keys[i] != 0xffffffffu) {
+        float* v = bigger.insert(keys[i]);
+        std::memcpy(v, &vals[i * kA], sizeof(float) * kA);
+      }
+    *this = std::move(bigger);
+  }
+  bool equals(const FlatHap& o) const {
+    if (size != o.size) return false;
+    for (size_t i = 0; i < keys.size(); ++i) {
+      if (keys[i] == 0xffffffffu) continue;
+      const float* ov = o.find(keys[i]);
+      if (ov == nullptr ||
+          std::memcmp(ov, &vals[i * kA], sizeof(float) * kA) != 0)
+        return false;
+    }
+    return true;
+  }
+};
+
+struct HapNode {
+  double score = 0.0;
+  std::vector<FlatHap> parts;
+  std::vector<int8_t> assign;
+};
+
+inline void dist_eps_map(const Read& read, const FlatHap& hap, double eps,
+                         double* same_out, double* diff_out) {
+  double same = 0.0, diff = 0.0;
+  for (const Site& st : read.sites) {
+    const float* v = hap.find(static_cast<uint32_t>(st.col));
+    float maxc = 0.0f;
+    if (v != nullptr)
+      for (int a = 0; a < FlatHap::kA; ++a) maxc = std::max(maxc, v[a]);
+    if (maxc == 0.0f) {
+      diff += eps;
+    } else if (v[st.allele] == maxc) {
+      same += st.weight;
+    } else {
+      diff += st.weight;
+    }
+  }
+  *same_out = same;
+  *diff_out = diff;
+}
+
+std::vector<int8_t> beam_search_block_faithful(
+    const std::vector<Read>& reads, int P, double eps, int beam_width) {
+  // Step structure mirrors tests/oracle.py's canonicalization of the
+  // reference's heap (ties broken by candidate insertion order): the
+  // beam is kept sorted by (score, uid); every step generates all
+  // unpruned candidates in beam order, dedups identical blocks keeping
+  // the worse score (global_clustering.rs:122-127), stable-sorts by
+  // score and truncates to the width.
+  const double cutoff = std::log(kProbCutoff);
+  const int R = static_cast<int>(reads.size());
+
+  std::vector<HapNode> beam(1);
+  beam[0].parts.assign(P, FlatHap());
+  beam[0].assign.assign(R, -1);
+
+  std::vector<HapNode> cands, kept;
+  std::vector<double> pvals(P), diffs(P);
+  for (int i = 0; i < R; ++i) {
+    const Read& read = reads[i];
+    const size_t width =
+        static_cast<size_t>(i < kWarmupReads ? P * beam_width : beam_width);
+    const uint32_t startpos = static_cast<uint32_t>(read.first_col);
+    cands.clear();
+    for (const HapNode& node : beam) {
+      double m = -1e300;
+      for (int j = 0; j < P; ++j) {
+        double same, diff;
+        dist_eps_map(read, node.parts[j], eps, &same, &diff);
+        pvals[j] = binom_tail(same + diff, diff, eps, kDivFactor);
+        diffs[j] = diff;
+        m = std::max(m, pvals[j]);
+      }
+      double lse = 0.0;
+      for (int j = 0; j < P; ++j) lse += std::exp(pvals[j] - m);
+      lse = m + std::log(lse);
+      for (int j = 0; j < P; ++j) {
+        if (pvals[j] - lse <= cutoff) continue;
+        HapNode child;
+        child.score = node.score + diffs[j];
+        // Truncated clone of every part (types_structs.rs:327-376).
+        child.parts.reserve(P);
+        for (int q = 0; q < P; ++q) {
+          const FlatHap& src = node.parts[q];
+          FlatHap dst(src.size + 4);
+          for (size_t k = 0; k < src.keys.size(); ++k)
+            if (src.keys[k] != 0xffffffffu && src.keys[k] >= startpos) {
+              float* v = dst.insert(src.keys[k]);
+              std::memcpy(v, &src.vals[k * FlatHap::kA],
+                          sizeof(float) * FlatHap::kA);
+            }
+          child.parts.push_back(std::move(dst));
+        }
+        for (const Site& st : read.sites)
+          child.parts[j].insert(static_cast<uint32_t>(st.col))[st.allele] +=
+              st.weight;
+        child.assign = node.assign;
+        child.assign[i] = static_cast<int8_t>(j);
+        cands.push_back(std::move(child));
+      }
+    }
+    // Dedup identical blocks keeping the worse (>=) score.
+    kept.clear();
+    for (HapNode& c : cands) {
+      bool exists = false;
+      for (const HapNode& h : kept) {
+        if (h.score < c.score) continue;
+        bool eq = true;
+        for (int q = 0; q < P && eq; ++q)
+          eq = h.parts[q].equals(c.parts[q]);
+        if (eq) {
+          exists = true;
+          break;
+        }
+      }
+      if (!exists) kept.push_back(std::move(c));
+    }
+    std::stable_sort(kept.begin(), kept.end(),
+                     [](const HapNode& x, const HapNode& y) {
+                       return x.score < y.score;
+                     });
+    if (kept.size() > width) kept.resize(width);
+    if (!kept.empty()) beam.swap(kept);
+  }
+  return beam.front().assign;  // sorted: front = best (score, uid)
+}
+
+std::vector<Read> unpack_block(const int8_t* alleles, const float* weights,
+                               int R, int S) {
+  std::vector<Read> reads;
+  reads.reserve(R);
+  for (int r = 0; r < R; ++r) {
+    Read rd;
+    rd.first_col = S;
+    for (int s = 0; s < S; ++s) {
+      const int8_t a = alleles[static_cast<size_t>(r) * S + s];
+      if (a < 0) continue;
+      if (rd.first_col == S) rd.first_col = s;
+      rd.sites.push_back({s, a, weights[static_cast<size_t>(r) * S + s]});
+    }
+    if (rd.first_col == S) rd.first_col = 0;  // empty padding row
+    reads.push_back(std::move(rd));
+  }
+  return reads;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sequential single-core ploidy sweep over G blocks of R reads x S SNPs.
+// alleles: int8 [G*R*S] (-1 = uncovered), weights: float [G*R*S].
+// ploidies: n_ploidies entries, swept per block like the reference's
+// per-block loop (graph_processing.rs:132-252). When do_upem != 0 each
+// (block, ploidy) beam result is UPEM-refined. faithful != 0 selects the
+// hashmap-based variant that mirrors the reference's data structures
+// (the honest denominator); 0 selects the generous dense rewrite.
+// out_assign (optional, int32 [G*R]) receives the LAST ploidy's
+// assignment per block for validation. Returns total reads processed
+// (G*R) as a liveness check.
+int64_t floria_baseline_sweep(const int8_t* alleles, const float* weights,
+                              int32_t G, int32_t R, int32_t S,
+                              const int32_t* ploidies, int32_t n_ploidies,
+                              int32_t beam_width, float epsilon,
+                              int32_t max_alleles, int32_t do_upem,
+                              int32_t faithful, int32_t* out_assign) {
+  const int A = max_alleles;
+  for (int g = 0; g < G; ++g) {
+    const std::vector<Read> reads = unpack_block(
+        alleles + static_cast<size_t>(g) * R * S,
+        weights + static_cast<size_t>(g) * R * S, R, S);
+    for (int pi = 0; pi < n_ploidies; ++pi) {
+      const int P = ploidies[pi];
+      std::vector<int8_t> assign =
+          faithful ? beam_search_block_faithful(reads, P, epsilon,
+                                                beam_width)
+                   : beam_search_block(reads, P, A, S, epsilon, beam_width);
+      if (do_upem) upem_optimize(reads, P, A, S, epsilon, &assign);
+      if (out_assign != nullptr && pi == n_ploidies - 1)
+        for (int r = 0; r < R; ++r)
+          out_assign[static_cast<size_t>(g) * R + r] = assign[r];
+    }
+  }
+  return static_cast<int64_t>(G) * R;
+}
+
+}  // extern "C"

@@ -24,6 +24,59 @@ def test_native_bgzf_matches_python(lib):
     assert out == payload
 
 
+def _workload_reads(alleles, weights, g):
+    reads = []
+    for r in range(alleles.shape[1]):
+        cols = np.nonzero(alleles[g, r] >= 0)[0]
+        reads.append({int(c): (int(alleles[g, r, c]),
+                               float(weights[g, r, c])) for c in cols})
+    return reads
+
+
+@pytest.mark.parametrize("ploidy,seed", [(2, 0), (3, 1), (4, 2)])
+def test_native_baseline_faithful_matches_oracle_exactly(lib, ploidy,
+                                                         seed):
+    """The faithful C++ baseline (hashmap haplotypes, truncation, heap
+    dedup — native/baseline.cpp) must reproduce the exact oracle
+    assignment read-for-read, not just co-clustering."""
+    import oracle
+
+    from bench import make_workload
+
+    G, R, S = 2, 48, 96
+    alleles, weights, _, _ = make_workload(G, R, S, seed=seed)
+    asg = native.baseline_sweep(alleles, weights, [ploidy], 10, 0.02,
+                                faithful=True, want_assign=True)
+    for g in range(G):
+        reads = _workload_reads(alleles, weights, g)
+        want = oracle.beam_search(reads, ploidy, 0.02, beam_width=10)
+        assert list(asg[g]) == list(want), (g, ploidy, seed)
+
+
+def test_native_baseline_dense_matches_oracle_mec(lib):
+    """The dense (generous) baseline skips dedup, so assignments may
+    diverge on exact-duplicate beams; its MEC must still match the
+    oracle's on typical instances."""
+    import oracle
+
+    from bench import make_workload
+
+    G, R, S = 2, 48, 96
+    alleles, weights, _, _ = make_workload(G, R, S, seed=3)
+    asg = native.baseline_sweep(alleles, weights, [3], 10, 0.02,
+                                want_assign=True)
+    for g in range(G):
+        reads = _workload_reads(alleles, weights, g)
+        want = oracle.beam_search(reads, 3, 0.02, beam_width=10)
+
+        def mec_of(a):
+            haps = oracle.hap_from_partition(reads, list(a), 3, True)
+            return sum(e for _b, e in oracle.mec_stats_epsilon(haps,
+                                                               0.02))
+
+        assert mec_of(asg[g]) == pytest.approx(mec_of(want), rel=1e-6)
+
+
 def test_native_flow_matches_scipy(lib):
     rng = np.random.default_rng(0)
     # Random small layered flow problem: 3 columns x 2 rows, full bipartite
