@@ -182,3 +182,27 @@ def test_end_to_end_extraction(small_sim):
             agree += int(truth.strain_alleles[k][snp - 1] == allele)
     assert total > 0
     assert agree / total > 0.95
+
+
+def test_autodetect_estimates_and_scales(tmp_path):
+    """l/epsilon auto-detection (file_reader.rs:749-826): estimates land
+    near the simulated truth, and the one-pass implementation stays fast
+    on a deep BAM (round-1 version re-walked covering reads per column)."""
+    import time
+
+    from floria_tpu.ingest.autodetect import l_epsilon_auto_detect
+
+    cfg = SimConfig(contig_len=40_000, num_strains=2, num_snps=150,
+                    coverage_per_strain=40.0, read_length=4_000,
+                    read_length_sd=300.0, error_rate=0.03, seed=9)
+    out = tmp_path / "deep"
+    simulate(cfg, str(out))
+    t0 = time.time()
+    est_l, est_e = l_epsilon_auto_detect(str(out / "sim.bam"))
+    elapsed = time.time() - t0
+    # ~80x coverage, 4kb reads on 40kb: one pass must be seconds, not
+    # minutes (the quadratic version did columns x depth alignment walks).
+    assert elapsed < 20.0, elapsed
+    assert 3_000 <= est_l <= 5_500, est_l
+    # 66th-pct column error of a 3% error sim, floored at 0.01.
+    assert 0.01 <= est_e <= 0.08, est_e
