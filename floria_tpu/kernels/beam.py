@@ -23,13 +23,19 @@ current read start when copying blocks (types_structs.rs:327-376). Since
 reads are inserted sorted by start and every read's own positions are at
 or after the previous read's start, truncation can never change any later
 distance computation, so the kernel keeps full (untruncated) counts.
-Consequences that do depend on truncation — duplicate-block dedup
-(global_clustering.rs:122-127) and broken-block bookkeeping — affect only
-disabled reference code paths (WEIRD_SPLIT=false) or rare exact-duplicate
-beams; the host oracle in tests/ carries the exact semantics.
+Duplicate-block dedup (global_clustering.rs:122-127), which IS sensitive
+to truncation (chains that differ only in the assignment of fully
+truncated reads produce equal blocks), is realized exactly in tensor
+form (dedup=True, the default): per-candidate linear fingerprints of the
+truncated window plus a closed-form reduction of the reference's
+sequential keep-the-worse scan — see _step. Broken-block bookkeeping
+affects only disabled reference code paths (WEIRD_SPLIT=false).
 
-Final-beam tie-break: lowest score wins, ties by lowest slot index (the
-reference's BinaryHeap order on ties is unspecified).
+Tie-breaks: the beam slot order maintained by top_k is (score asc,
+candidate generation order asc), which is exactly the host oracle's
+(score, uid) canonical order (tests/oracle.py), inductively: top_k ties
+resolve to the lowest flattened (parent slot, part) index and parents
+are already in canonical order.
 """
 
 from __future__ import annotations
@@ -70,12 +76,13 @@ class BeamResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("ploidy", "beam_width",
-                                             "max_alleles", "window"))
+                                             "max_alleles", "window",
+                                             "dedup"))
 def beam_search_batch(alleles: jax.Array, weights: jax.Array,
                       num_reads: jax.Array, epsilon: jax.Array,
                       ploidy: int, beam_width: int,
                       max_alleles: int = constants.MAX_ALLELES,
-                      window: int = 0) -> BeamResult:
+                      window: int = 0, dedup: bool = True) -> BeamResult:
     """Phase a batch of block instances at a fixed ploidy.
 
     alleles  [G, R, S] int8 (-1 = uncovered / padding)
@@ -93,17 +100,19 @@ def beam_search_batch(alleles: jax.Array, weights: jax.Array,
     num_parts = jnp.full(G, ploidy, dtype=jnp.int32)
     return beam_search_batch_mixed(alleles, weights, num_reads, epsilon,
                                    num_parts, ploidy, beam_width,
-                                   max_alleles, window)
+                                   max_alleles, window, dedup)
 
 
 @functools.partial(jax.jit, static_argnames=("max_ploidy", "beam_width",
-                                             "max_alleles", "window"))
+                                             "max_alleles", "window",
+                                             "dedup"))
 def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
                             num_reads: jax.Array, epsilon: jax.Array,
                             num_parts: jax.Array, max_ploidy: int,
                             beam_width: int,
                             max_alleles: int = constants.MAX_ALLELES,
-                            window: int = 0) -> BeamResult:
+                            window: int = 0,
+                            dedup: bool = True) -> BeamResult:
     """Mixed-ploidy batch: each instance phases into its own number of
     parts (num_parts[g] <= max_ploidy); inactive parts are masked out of
     scoring, pruning, and candidate selection, so one dispatch covers a
@@ -115,19 +124,33 @@ def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
         window = S
     fn = jax.vmap(functools.partial(
         _beam_search_single, ploidy=max_ploidy, beam_width=beam_width,
-        max_alleles=max_alleles, window=window))
+        max_alleles=max_alleles, window=window, dedup=dedup))
     return BeamResult(*fn(alleles, weights, num_reads, epsilon,
                           num_parts.astype(jnp.int32)))
 
 
 def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-          eps, width, ploidy, out_slots, window, part_active=None):
+          eps, width, ploidy, out_slots, window, part_active=None,
+          start_t=None, hash_consts=None):
     """Insert read t into every live beam; keep the best `width` of the
     top `out_slots` candidates. counts: [B, P, A, S]; compute touches
     only the `window` columns starting at off_t (see beam_search_batch).
     Columns ahead of every window are all-zero in every slot, columns
     behind the frontier are never read again, so skipping them in the
-    beam permutation preserves all downstream results exactly."""
+    beam permutation preserves all downstream results exactly.
+
+    When hash_consts is given, duplicate candidate blocks are deduped
+    exactly like the reference (global_clustering.rs:122-127): two
+    candidates are duplicates when their count tensors truncated at the
+    read start (start_t) coincide; among duplicates only a candidate
+    strictly better than every earlier (generation-order) one survives —
+    closed form of the reference's sequential keep-the-worse scan, since
+    kept scores form a strictly decreasing-MEC chain. Equality is
+    detected by a pair of linear fingerprints (identical truncated
+    blocks are bitwise identical here: both chains added the same reads
+    to the same parts in the same scan order, so each cell and hence
+    each fingerprint reduction is reproduced bit-for-bit; distinct
+    blocks collide with probability ~2^-46 per pair)."""
     B, P, A, S = counts.shape
     cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
     div = jnp.float32(constants.DIV_FACTOR)
@@ -160,6 +183,31 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
         keep = keep & part_active[None, :]
     cand = jnp.where(keep & live[:, None],
                      score[:, None] + diff, INF)            # [B, P]
+
+    if hash_consts is not None:
+        v1, v2, g1, g2 = hash_consts                # [A, S], [A, S], [P]x2
+        start_loc = start_t - off_t if window < S else start_t
+        colmask = (jnp.arange(window) >= start_loc).astype(jnp.float32)
+        if window < S:
+            v1_w = jax.lax.dynamic_slice(v1, (0, off_t), (A, window))
+            v2_w = jax.lax.dynamic_slice(v2, (0, off_t), (A, window))
+        else:
+            v1_w, v2_w = v1, v2
+        h_list = []
+        for vw, gp in ((v1_w, g1), (v2_w, g2)):
+            # Truncated-parent fingerprint + the read's delta per part.
+            ph = jnp.einsum("bpas,as->bp", win, vw * colmask[None],
+                            preferred_element_type=jnp.float32) @ gp
+            rc = (oh_w * w_w[None] * vw).sum()
+            h_list.append((ph[:, None] + gp[None, :] * rc).reshape(B * P))
+        flat = cand.reshape(B * P)
+        gen = jnp.arange(B * P)
+        finite = jnp.isfinite(flat)
+        eq = ((h_list[0][:, None] == h_list[0][None, :])
+              & (h_list[1][:, None] == h_list[1][None, :]))
+        dup = (eq & (gen[None, :] < gen[:, None]) & finite[None, :]
+               & (flat[None, :] >= flat[:, None]))
+        cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
 
     neg, idx = jax.lax.top_k(-cand.reshape(B * P), out_slots)
     sel_score = -neg
@@ -197,6 +245,13 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     return counts_out, score_out, live_out, out_parent, out_part
 
 
+def _read_starts(covered_all, S):
+    """First covered column per read (S for all-padding rows)."""
+    col = jnp.argmax(covered_all, axis=1).astype(jnp.int32)
+    has = covered_all.any(axis=1)
+    return jnp.where(has, col, S).astype(jnp.int32)
+
+
 def _window_offsets(covered_all, S, window):
     """Per-read 128-aligned window start columns: floor-128 of the first
     covered column, clipped so the window stays inside [0, S), made
@@ -204,19 +259,30 @@ def _window_offsets(covered_all, S, window):
     to padding rows, where cummax holds the last offset)."""
     if window >= S:
         return jnp.zeros(covered_all.shape[0], dtype=jnp.int32)
-    R = covered_all.shape[0]
-    col = jnp.argmax(covered_all, axis=1).astype(jnp.int32)
-    has = covered_all.any(axis=1)
-    start = jnp.where(has, col, S - 1)
+    start = jnp.minimum(_read_starts(covered_all, S), S - 1)
     off = (start // 128) * 128
     off = jnp.minimum(off, S - window)
     off = jax.lax.cummax(off)
     return off
 
 
+def _hash_consts(max_alleles, S, ploidy):
+    """Deterministic positive fingerprint vectors for block dedup
+    (positive so masked-out columns contribute consistently-signed
+    zeros; see _step's dedup note)."""
+    rng = np.random.default_rng(0xF10E1A)
+    v1 = jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
+                     dtype=jnp.float32)
+    v2 = jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
+                     dtype=jnp.float32)
+    g1 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
+    g2 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
+    return v1, v2, g1, g2
+
+
 def _beam_search_single(alleles, weights, num_reads, epsilon,
                         num_parts=None, *, ploidy, beam_width,
-                        max_alleles, window=0):
+                        max_alleles, window=0, dedup=True):
     R, S = alleles.shape
     P = ploidy
     A = max_alleles
@@ -237,6 +303,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     oh_all = (alleles[:, None, :] == jnp.arange(A, dtype=alleles.dtype)[
         None, :, None]).astype(jnp.float32)
     offs = _window_offsets(covered_all, S, window)
+    starts = _read_starts(covered_all, S)
+    hc = _hash_consts(A, S, P) if dedup else None
 
     counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
@@ -247,18 +315,19 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
 
     def warm_step(state, xs):
         counts, score, live = state
-        t, off_t, a_cov, w_t, oh_t = xs
+        t, off_t, st_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
             counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
             eps, width=warm_width, ploidy=P, out_slots=B1,
-            window=window, part_active=part_active)
+            window=window, part_active=part_active, start_t=st_t,
+            hash_consts=hc)
         return (counts, score, live), (parent, part)
 
     ts = jnp.arange(R, dtype=jnp.int32)
     (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
         warm_step, (counts, score, live),
-        (ts[:T1], offs[:T1], covered_all[:T1], weights[:T1],
-         oh_all[:T1]), unroll=_SCAN_UNROLL)
+        (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
+         weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
         empty = jnp.zeros((0, W), dtype=jnp.int32)
@@ -268,21 +337,23 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     counts, score, live, tr_parent, tr_part = _step(
         counts, score, live, jnp.int32(T1), offs[T1], covered_all[T1],
         weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
-        out_slots=W, window=window, part_active=part_active)
+        out_slots=W, window=window, part_active=part_active,
+        start_t=starts[T1], hash_consts=hc)
 
     def main_step(state, xs):
         counts, score, live = state
-        t, off_t, a_cov, w_t, oh_t = xs
+        t, off_t, st_t, a_cov, w_t, oh_t = xs
         counts, score, live, parent, part = _step(
             counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
             eps, width=W, ploidy=P, out_slots=W, window=window,
-            part_active=part_active)
+            part_active=part_active, start_t=st_t, hash_consts=hc)
         return (counts, score, live), (parent, part)
 
     (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
         main_step, (counts, score, live),
-        (ts[T1 + 1:], offs[T1 + 1:], covered_all[T1 + 1:],
-         weights[T1 + 1:], oh_all[T1 + 1:]), unroll=_SCAN_UNROLL)
+        (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
+         covered_all[T1 + 1:], weights[T1 + 1:], oh_all[T1 + 1:]),
+        unroll=_SCAN_UNROLL)
 
     main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
     main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)
