@@ -99,6 +99,95 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
     return diff, score, mec_noph
 
 
+def _apply_moves_single(assign, diff, num_reads):
+    """Device twin of apply_moves for one instance: sorted prefix-capped
+    sequential walk as a lax.scan over the flattened candidate list.
+    Bit-equivalent to the host walk (same stable sort key, same running
+    size/moved/break bookkeeping — local_clustering.rs:292-358)."""
+    R, P = diff.shape
+    r_idx = jnp.arange(R)
+    live = r_idx < num_reads
+    assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)
+    sizes0 = (assign_oh * live[:, None].astype(jnp.float32)).sum(0)
+    sizes0 = sizes0.astype(jnp.int32)                       # [P]
+    own = jnp.take_along_axis(diff, assign[:, None], axis=1)[:, 0]
+    gains = own[:, None] - diff                             # [R, P]
+    valid = (gains > 0.0) & live[:, None]
+    valid &= jnp.arange(P)[None, :] != assign[:, None]
+    valid &= (sizes0[assign] > 1)[:, None]
+    K = R * P
+    valid_f = valid.reshape(K)
+    key = jnp.where(valid_f, -gains.reshape(K), jnp.inf)
+    order = jnp.argsort(key, stable=True)  # gain desc, generation asc
+    n_valid = valid_f.sum()
+    n_moves = n_valid // 10
+    n_moves = jnp.where(n_moves == 0, n_valid // 3 + 1, n_moves)
+
+    def step(carry, k):
+        new_assign, moved, cur, stop = carry
+        idx = order[k]
+        r = idx // P
+        j = idx % P
+        i = assign[r]  # source = original part (reads move at most once)
+        ok = ((k < n_valid) & ~stop & ~moved[r] & (cur[i] != 1))
+        new_assign = new_assign.at[r].set(
+            jnp.where(ok, j, new_assign[r]))
+        moved = moved.at[r].set(moved[r] | ok)
+        d = ok.astype(jnp.int32)
+        cur = cur.at[j].add(d).at[i].add(-d)
+        stop = stop | (ok & (k > n_moves))
+        return (new_assign, moved, cur, stop), None
+
+    init = (assign, jnp.zeros(R, dtype=bool), sizes0,
+            jnp.zeros((), dtype=bool))
+    (new_assign, _m, _c, _s), _ = jax.lax.scan(
+        step, init, jnp.arange(K))
+    return new_assign
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
+def upem_optimize_device(alleles, weights, assign0, num_reads, epsilon,
+                         ploidy, max_alleles=constants.MAX_ALLELES):
+    """Whole UPEM hill-climb (optimize_clustering,
+    local_clustering.rs:71-130) as ONE device dispatch: a while_loop of
+    at most NUM_ITER_OPTIMIZE lockstep iterations, each evaluating every
+    instance's moves (MXU matmuls, upem_eval_batch) and applying them
+    via the scanned sequential walk — no host round trips.
+
+    Returns (refined assigns [G, R], mec_noph [G, 2], diff [G, R, P])."""
+    G, R, _S = alleles.shape
+
+    def eval_all(asg):
+        return upem_eval_batch(alleles, weights, asg, epsilon, ploidy,
+                               max_alleles)
+
+    diff0, score0, mec0 = eval_all(assign0)
+
+    def cond(state):
+        it, _best, _score, _mec, _diff, active = state
+        return (it < constants.NUM_ITER_OPTIMIZE) & active.any()
+
+    def body(state):
+        it, best, best_score, best_mec, diff, active = state
+        proposal = jax.vmap(_apply_moves_single)(best, diff, num_reads)
+        changed = (proposal != best).any(axis=1)
+        active = active & changed
+        new_diff, new_score, new_mec = eval_all(proposal)
+        improved = active & (new_score > best_score)
+        imp_r = improved[:, None]
+        best = jnp.where(imp_r, proposal, best)
+        best_score = jnp.where(improved, new_score, best_score)
+        best_mec = jnp.where(improved[:, None], new_mec, best_mec)
+        diff = jnp.where(improved[:, None, None], new_diff, diff)
+        return (it + 1, best, best_score, best_mec, diff, improved)
+
+    state = (jnp.int32(0), assign0, score0, mec0, diff0,
+             jnp.ones(G, dtype=bool))
+    _it, best, _score, best_mec, diff, _active = jax.lax.while_loop(
+        cond, body, state)
+    return best, best_mec, diff
+
+
 def apply_moves(assign: np.ndarray, diff: np.ndarray, ploidy: int,
                 num_reads: int) -> np.ndarray:
     """Host move application for one instance

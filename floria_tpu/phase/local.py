@@ -200,7 +200,7 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     Returns ({(block, ploidy): refined assignment},
              {(block, ploidy): (bases, errors)}).
     """
-    from ..kernels.upem_batch import _GroupState, optimize_many
+    from ..kernels.upem_batch import upem_optimize_device
 
     groups: Dict[Tuple[int, int, int],
                  List[Tuple[int, BlockTensor]]] = {}
@@ -210,7 +210,10 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
                    _bucket_sites(bt.num_sites))
             groups.setdefault(key, []).append((j, bt))
 
-    states = []
+    # One device dispatch per shape group runs the whole <=20-iteration
+    # hill-climb on device (no per-iteration host round trips); launch
+    # every group async before pulling any result.
+    pending = []
     for (ploidy, r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
@@ -225,18 +228,18 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
             if ploidy > 1:
                 assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        states.append((members, _GroupState(alleles, weights, assigns,
-                                            nreads, eps, ploidy)))
-
-    optimize_many([gs for _m, gs in states])
+        best, mec, _diff = upem_optimize_device(
+            alleles, weights, assigns, nreads, eps, ploidy)
+        pending.append((members, ploidy, best, mec))
 
     refined: Dict[Tuple[int, int], np.ndarray] = {}
     stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
-    for members, gs in states:
+    for members, ploidy, best, mec in pending:
+        best = np.asarray(best)
+        mec = np.asarray(mec)
         for g, (j, bt) in enumerate(members):
-            refined[(j, gs.ploidy)] = gs.best[g, :bt.num_reads]
-            stats[(j, gs.ploidy)] = (float(gs.best_mec[g, 0]),
-                                     float(gs.best_mec[g, 1]))
+            refined[(j, ploidy)] = best[g, :bt.num_reads]
+            stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))
     return refined, stats
 
 

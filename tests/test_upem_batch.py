@@ -92,3 +92,29 @@ def test_optimize_batch_matches_sequential(ploidy):
     for g, bt in enumerate(blocks):
         _score, want = optimize_clustering(bt, starts[g], ploidy, eps)
         np.testing.assert_array_equal(out[g, :bt.num_reads], want)
+
+
+def test_upem_device_matches_host_lockstep():
+    """The single-dispatch on-device optimize loop (while_loop + scanned
+    move walk) must reproduce the host lockstep walk bit-for-bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_workload
+    from floria_tpu.kernels import upem_batch
+
+    for seed in (0, 1, 2):
+        G, R, S = 4, 64, 128
+        alleles, weights, num_reads, eps = make_workload(G, R, S,
+                                                         seed=seed)
+        rng = np.random.default_rng(seed + 100)
+        ploidy = 3
+        assign0 = rng.integers(0, ploidy, (G, R)).astype(np.int32)
+        best_h, mec_h = upem_batch.optimize_batch(
+            alleles, weights, assign0.copy(), num_reads, eps, ploidy)
+        best_d, mec_d, _ = upem_batch.upem_optimize_device(
+            jnp.asarray(alleles), jnp.asarray(weights),
+            jnp.asarray(assign0), jnp.asarray(num_reads),
+            jnp.asarray(eps), ploidy)
+        assert (np.asarray(best_d) == best_h).all()
+        assert np.allclose(np.asarray(mec_d), mec_h)
