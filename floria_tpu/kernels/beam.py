@@ -105,25 +105,32 @@ def beam_search_batch(alleles: jax.Array, weights: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("max_ploidy", "beam_width",
                                              "max_alleles", "window",
-                                             "dedup"))
+                                             "dedup", "impl"))
 def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
                             num_reads: jax.Array, epsilon: jax.Array,
                             num_parts: jax.Array, max_ploidy: int,
                             beam_width: int,
                             max_alleles: int = constants.MAX_ALLELES,
-                            window: int = 0,
-                            dedup: bool = True) -> BeamResult:
+                            window: int = 0, dedup: bool = True,
+                            impl: str = "hist") -> BeamResult:
     """Mixed-ploidy batch: each instance phases into its own number of
     parts (num_parts[g] <= max_ploidy); inactive parts are masked out of
     scoring, pruning, and candidate selection, so one dispatch covers a
     whole ploidy sweep. Beam slots are max_ploidy * beam_width wide with
     per-instance warmup widths of num_parts * beam_width
-    (global_clustering.rs:50-55)."""
+    (global_clustering.rs:50-55).
+
+    impl: "hist" (default) carries the assignment-history state and
+    reconstructs window counts by matmul (fastest on TPU — the counts
+    permutation was bandwidth-bound); "counts" carries the materialized
+    count tensor. Both produce identical results."""
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
+    single = (_beam_search_single_hist if impl == "hist"
+              else _beam_search_single)
     fn = jax.vmap(functools.partial(
-        _beam_search_single, ploidy=max_ploidy, beam_width=beam_width,
+        single, ploidy=max_ploidy, beam_width=beam_width,
         max_alleles=max_alleles, window=window, dedup=dedup))
     return BeamResult(*fn(alleles, weights, num_reads, epsilon,
                           num_parts.astype(jnp.int32)))
@@ -278,6 +285,185 @@ def _hash_consts(max_alleles, S, ploidy):
     g1 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
     g2 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
     return v1, v2, g1, g2
+
+
+def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
+               wa, z1, z2, num_reads, eps, width, ploidy, out_slots,
+               window, g1, g2, part_active=None, dedup=True):
+    """hist-state twin of _step: the beam state is the per-slot
+    assignment history hist[B, P, R] (one-hot over reads) instead of the
+    materialized count tensor. The window's counts are reconstructed
+    each step by one MXU matmul over the read axis — O(B*P*R*A*window)
+    FLOPs instead of O(B*P*A*S) state bytes permuted, which profiling
+    showed is the beam step's bottleneck on TPU (the permutation of an
+    ~80 MB counts state dominated; hist is ~8 MB).
+
+    Truncated-block fingerprints for dedup come from per-read suffix
+    sums z[r, s] = sum_{s'>=s} w*v(allele) — a read fully left of the
+    truncation frontier contributes exactly +0.0 to every part's
+    fingerprint, so duplicate chains (differing only in such reads'
+    parts) hash bitwise-identically, term for term."""
+    B, P, R = hist.shape
+    A, S = oh_t.shape
+    cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
+    div = jnp.float32(constants.DIV_FACTOR)
+    valid = t < num_reads
+
+    if window < S:
+        wa_win = jax.lax.dynamic_slice(wa, (0, 0, off_t),
+                                       (R, A, window))
+        a_cov_w = jax.lax.dynamic_slice(a_cov, (off_t,), (window,))
+        w_w = jax.lax.dynamic_slice(w_t, (off_t,), (window,))
+        oh_w = jax.lax.dynamic_slice(oh_t, (0, off_t), (A, window))
+    else:
+        wa_win, a_cov_w, w_w, oh_w = wa, a_cov, w_t, oh_t
+
+    win = jnp.einsum("bpr,raw->bpaw", hist, wa_win,
+                     preferred_element_type=jnp.float32)
+    maxc = win.max(axis=2)                                  # [B, P, Wn]
+    at = (win * oh_w[None, None]).sum(axis=2)               # [B, P, Wn]
+    empty = maxc == 0.0
+    cov = a_cov_w[None, None, :]
+    w = w_w[None, None, :]
+    same = (w * (cov & ~empty & (at == maxc))).sum(-1)      # [B, P]
+    diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
+            + eps * (cov & empty).sum(-1))
+    pval = binom_tail_jnp(same + diff, diff, eps, div)      # [B, P]
+    if part_active is not None:
+        pval = jnp.where(part_active[None, :], pval, -jnp.inf)
+    lse = log_sum_exp_jnp(pval, axis=-1)                    # [B]
+    keep = (pval - lse[:, None]) > cutoff
+    if part_active is not None:
+        keep = keep & part_active[None, :]
+    cand = jnp.where(keep & live[:, None],
+                     score[:, None] + diff, INF)            # [B, P]
+
+    if dedup:
+        h_list = []
+        for z, gp in ((z1, g1), (z2, g2)):
+            zt = jax.lax.dynamic_slice(z, (0, start_t), (R, 1))[:, 0]
+            ph = jnp.einsum("bpr,r->bp", hist, zt,
+                            preferred_element_type=jnp.float32)
+            rc = zt[t]  # the read's own full contribution
+            h_list.append(((ph @ gp)[:, None]
+                           + gp[None, :] * rc).reshape(B * P))
+        flat = cand.reshape(B * P)
+        gen = jnp.arange(B * P)
+        finite = jnp.isfinite(flat)
+        eq = ((h_list[0][:, None] == h_list[0][None, :])
+              & (h_list[1][:, None] == h_list[1][None, :]))
+        dup = (eq & (gen[None, :] < gen[:, None]) & finite[None, :]
+               & (flat[None, :] >= flat[:, None]))
+        cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
+
+    neg, idx = jax.lax.top_k(-cand.reshape(B * P), out_slots)
+    sel_score = -neg
+    new_live = (jnp.arange(out_slots) < width) & jnp.isfinite(sel_score)
+    parent = idx // P
+    part = idx % P
+
+    gather_oh = jax.nn.one_hot(parent, B, dtype=jnp.float32)
+    newhist = jnp.einsum("bB,BPR->bPR", gather_oh, hist,
+                         preferred_element_type=jnp.float32)
+    part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
+    t_oh = (jnp.arange(R) == t).astype(jnp.float32)         # [R]
+    newhist = newhist + part_oh[:, :, None] * t_oh[None, None, :]
+    new_score = jnp.where(new_live, sel_score, INF)
+
+    base = hist if out_slots == B else hist[:out_slots]
+    hist_out = jnp.where(valid, newhist, base)
+    score_out = jnp.where(valid, new_score,
+                          score if out_slots == B else score[:out_slots])
+    live_out = jnp.where(valid, new_live,
+                         live if out_slots == B else live[:out_slots])
+    out_parent = jnp.where(valid, parent,
+                           jnp.arange(out_slots)).astype(jnp.int32)
+    out_part = jnp.where(valid, part, -1).astype(jnp.int32)
+    return hist_out, score_out, live_out, out_parent, out_part
+
+
+def _suffix_hash(weights, oh_all, v):
+    """z[r, s] = sum_{s' >= s} w[r, s'] * v[allele_{r,s'}, s'], padded
+    with a zero column at s = S (fully truncated reads hash to +0)."""
+    contrib = (oh_all * v[None]).sum(axis=1) * weights      # [R, S]
+    z = jnp.cumsum(contrib[:, ::-1], axis=1)[:, ::-1]
+    return jnp.concatenate(
+        [z, jnp.zeros((z.shape[0], 1), dtype=z.dtype)], axis=1)
+
+
+def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
+                             num_parts=None, *, ploidy, beam_width,
+                             max_alleles, window=0, dedup=True):
+    R, S = alleles.shape
+    P = ploidy
+    A = max_alleles
+    B1 = ploidy * beam_width
+    W = beam_width
+    if window <= 0 or window > S:
+        window = S
+    eps = epsilon.astype(jnp.float32)
+    if num_parts is None:
+        part_active = None
+        warm_width = B1
+    else:
+        part_active = jnp.arange(P) < num_parts
+        warm_width = num_parts * W
+
+    covered_all = alleles >= 0
+    oh_all = (alleles[:, None, :] == jnp.arange(A, dtype=alleles.dtype)[
+        None, :, None]).astype(jnp.float32)
+    offs = _window_offsets(covered_all, S, window)
+    starts = _read_starts(covered_all, S)
+    v1, v2, g1, g2 = _hash_consts(A, S, P)
+    wa = oh_all * weights[:, None, :]                       # [R, A, S]
+    z1 = _suffix_hash(weights, oh_all, v1)
+    z2 = _suffix_hash(weights, oh_all, v2)
+
+    hist = jnp.zeros((B1, P, R), dtype=jnp.float32)
+    score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
+        jnp.float32)
+    live = jnp.arange(B1) == 0
+
+    T1 = min(constants.BEAM_WARMUP_READS, R)
+
+    def make_step(width, out_slots):
+        def step_fn(state, xs):
+            hist, score, live = state
+            t, off_t, st_t, a_cov, w_t, oh_t = xs
+            hist, score, live, parent, part = _step_hist(
+                hist, score, live, t, off_t, st_t, a_cov, w_t, oh_t,
+                wa, z1, z2, num_reads, eps, width=width, ploidy=P,
+                out_slots=out_slots, window=window, g1=g1, g2=g2,
+                part_active=part_active, dedup=dedup)
+            return (hist, score, live), (parent, part)
+        return step_fn
+
+    ts = jnp.arange(R, dtype=jnp.int32)
+    (hist, score, live), (warm_parents, warm_parts) = jax.lax.scan(
+        make_step(warm_width, B1), (hist, score, live),
+        (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
+         weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
+
+    if R <= T1:
+        empty = jnp.zeros((0, W), dtype=jnp.int32)
+        return (warm_parents, warm_parts, empty, empty, score, live)
+
+    hist, score, live, tr_parent, tr_part = _step_hist(
+        hist, score, live, jnp.int32(T1), offs[T1], starts[T1],
+        covered_all[T1], weights[T1], oh_all[T1], wa, z1, z2,
+        num_reads, eps, width=W, ploidy=P, out_slots=W, window=window,
+        g1=g1, g2=g2, part_active=part_active, dedup=dedup)
+
+    (hist, score, live), (m_parents, m_parts) = jax.lax.scan(
+        make_step(W, W), (hist, score, live),
+        (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
+         covered_all[T1 + 1:], weights[T1 + 1:], oh_all[T1 + 1:]),
+        unroll=_SCAN_UNROLL)
+
+    main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
+    main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)
+    return (warm_parents, warm_parts, main_parents, main_parts, score,
+            live)
 
 
 def _beam_search_single(alleles, weights, num_reads, epsilon,

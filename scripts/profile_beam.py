@@ -23,7 +23,7 @@ import numpy as np  # noqa: E402
 from bench import make_workload  # noqa: E402
 
 
-def run_case(G, R, S, window, iters=3):
+def run_case(G, R, S, window, iters=3, impl="hist", dedup=True):
     import jax
 
     from floria_tpu.kernels.beam import beam_search_batch_mixed
@@ -39,7 +39,8 @@ def run_case(G, R, S, window, iters=3):
         out = beam_search_batch_mixed(
             jax.numpy.asarray(alleles), jax.numpy.asarray(weights),
             jax.numpy.asarray(num_reads), jax.numpy.asarray(eps),
-            jax.numpy.asarray(nparts), 5, 10, window=window)
+            jax.numpy.asarray(nparts), 5, 10, window=window,
+            impl=impl, dedup=dedup)
         out[0].block_until_ready()
 
     t0 = time.time()
@@ -51,7 +52,8 @@ def run_case(G, R, S, window, iters=3):
     per = (time.time() - t0) / iters
     ms_step = per / R * 1e3
     rps = G * R / per
-    print(f"G={G:4d} R={R} S={S} win={window:4d} | compile {compile_s:6.1f}s"
+    print(f"{impl:6s} dedup={int(dedup)} G={G:4d} R={R} S={S} "
+          f"win={window:4d} | compile {compile_s:6.1f}s"
           f" | {per*1e3:8.1f} ms/sweep | {ms_step:7.3f} ms/step |"
           f" {rps:9.0f} reads/s", flush=True)
     return per
@@ -61,13 +63,13 @@ def main():
     import jax
     print("devices:", jax.devices(), flush=True)
     R = 256
-    # G sweep at S=256 full window
-    for G in (8, 32, 128):
-        run_case(G, R, 256, 0)
-    # S sweep at G=32
+    for G in (32, 128):
+        run_case(G, R, 256, 0, impl="hist")
+    run_case(32, R, 256, 0, impl="hist", dedup=False)
+    run_case(32, R, 256, 0, impl="counts")
     for S in (512, 1024):
-        run_case(32, R, S, 0)
-        run_case(32, R, S, 512)
+        run_case(32, R, S, 0, impl="hist")
+        run_case(32, R, S, 512, impl="hist")
 
 
 if __name__ == "__main__":

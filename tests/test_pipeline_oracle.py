@@ -1,0 +1,86 @@
+"""Full-pipeline oracle equality: the framework's vartigs and haplosets
+must be byte-identical to the independent dict/loop oracle pipeline
+(tests/oracle_pipeline.py) built straight from the reference sources —
+across long-read, multi-strain, and paired short-read configs."""
+
+import os
+
+import pytest
+
+import oracle_pipeline
+from floria_tpu.frag import sort_and_renumber
+from floria_tpu.ingest import bam as bamlib
+from floria_tpu.ingest.fasta import FastaFile
+from floria_tpu.ingest.fragments import (collect_contig_records,
+                                         finalize_frags)
+from floria_tpu.ingest.vcf import read_vcf
+from floria_tpu.options import Options
+from floria_tpu.pipeline import open_bam, run
+from floria_tpu.sim.simulate import SimConfig, simulate
+
+CONFIGS = {
+    "long2": SimConfig(contig_len=30_000, num_strains=2, num_snps=130,
+                       coverage_per_strain=10.0, read_length=4_000,
+                       read_length_sd=600.0, error_rate=0.015, seed=5),
+    "long3": SimConfig(contig_len=24_000, num_strains=3, num_snps=110,
+                       coverage_per_strain=12.0, read_length=5_000,
+                       read_length_sd=500.0, error_rate=0.01, seed=23),
+    "paired2": SimConfig(contig_len=20_000, num_strains=2, num_snps=220,
+                         coverage_per_strain=25.0, read_length=150,
+                         read_length_sd=10.0, error_rate=0.005,
+                         paired=True, insert_size=450, seed=9),
+}
+
+
+def _ingest_like_pipeline(opts: Options, contig: str):
+    """Replicates pipeline._run_group's ingest for one contig so the
+    oracle runs on the exact same frozen fragments."""
+    contigs = bamlib.get_contigs_to_phase(opts.bam_file)
+    main_bam = open_bam(opts.bam_file)
+    vcf_profile = read_vcf(opts.vcf_file, contigs)
+    cv = vcf_profile.get(contig)
+    fasta = FastaFile(opts.reference_fasta)
+    ref_seq = fasta.fetch(contig)
+    id_map = collect_contig_records(main_bam, None, cv, opts, ref_seq,
+                                    contig)
+    all_frags, frags_without_snps = finalize_frags(id_map, cv, opts)
+    all_frags = sort_and_renumber(all_frags)
+    for f in all_frags:
+        f.freeze()
+    for f in frags_without_snps:
+        f.freeze()
+    return all_frags, frags_without_snps, cv
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_pipeline_matches_oracle(name, tmp_path):
+    cfg = CONFIGS[name]
+    sim_dir = tmp_path / "sim"
+    simulate(cfg, str(sim_dir))
+    out_dir = tmp_path / "out"
+    opts = Options(
+        bam_file=os.path.join(str(sim_dir), "sim.bam"),
+        vcf_file=os.path.join(str(sim_dir), "sim.vcf"),
+        reference_fasta=os.path.join(str(sim_dir), "sim.fa"),
+        out_dir=str(out_dir), epsilon=0.02, block_length=4000,
+        snp_count_filter=10, overwrite=True)
+    os.makedirs(out_dir, exist_ok=True)
+    run(opts)
+
+    contig = cfg.contig_name
+    cdir = os.path.join(str(out_dir), contig)
+    with open(os.path.join(cdir, f"{contig}.vartigs")) as f:
+        got_vartigs = f.read()
+    with open(os.path.join(cdir, f"{contig}.haplosets")) as f:
+        got_haplosets = f.read()
+
+    frags, _nosnp, cv = _ingest_like_pipeline(opts, contig)
+    parts, ranges, hapqs, rel = oracle_pipeline.phase_contig(
+        frags, cv.genome_pos, opts)
+    want_vartigs = oracle_pipeline.vartigs_text(
+        parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
+    want_haplosets = oracle_pipeline.haplosets_text(
+        parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
+
+    assert got_vartigs == want_vartigs
+    assert got_haplosets == want_haplosets
