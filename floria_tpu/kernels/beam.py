@@ -51,7 +51,10 @@ import numpy as np
 from .. import constants
 from .scores import binom_tail_jnp, log_sum_exp_jnp
 
-INF = jnp.float32(jnp.inf)
+# Plain python float: a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize for
+# any process that imports this module first (multihost workers).
+INF = float("inf")
 
 # Loop-overhead amortization for the per-read scans; read insertion is
 # inherently sequential, unrolling only trades code size for dispatch

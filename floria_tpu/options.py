@@ -62,6 +62,9 @@ class Options:
     contig_batch: int = 16
     # If set, use this many devices for block sharding; None = all local.
     num_devices: Optional[int] = None
+    # Summary-TSV filename inside out_dir; multihost points each process
+    # at its own file so concurrent appends never share a file.
+    ploidy_tsv: str = "contig_ploidy_info.tsv"
 
     def validate(self) -> None:
         if not (1 <= self.ploidy_sensitivity <= 3):

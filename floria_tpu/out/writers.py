@@ -52,7 +52,7 @@ def write_outputs(parts: List[Set[int]], ranges: List[Tuple[int, int]],
                                        options.block_length)
     write_haplotypes(parts, ranges, out_dir, contig, frags,
                      snp_to_genome_pos, hapqs, rel_err, options.out_dir,
-                     avg_err, contig_len)
+                     avg_err, contig_len, ploidy_tsv=options.ploidy_tsv)
     write_all_parts_file(parts, ranges, out_dir, contig, contig, frags,
                          snp_to_genome_pos, hapqs, rel_err)
     write_nosnp_reads_parts(out_dir, snpless_frags)
@@ -74,7 +74,8 @@ def _fmt_header(i: int, out_dir: str, contig: str, left: int, right: int,
 
 def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
                      snp_to_genome_pos, hapqs, rel_err, top_dir: str,
-                     avg_err: float, contig_len: int) -> None:
+                     avg_err: float, contig_len: int,
+                     ploidy_tsv: str = "contig_ploidy_info.tsv") -> None:
     num_snps = len(snp_to_genome_pos)
     covered = np.zeros(num_snps)
     coverage = np.zeros(num_snps)
@@ -115,7 +116,7 @@ def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
     avg_q = {q: (arr.sum() / num_snps if num_snps else float("nan"))
              for q, arr in covered_q.items()}
     rough_cvg = coverage.sum() / nonzero if nonzero else float("nan")
-    with open(os.path.join(top_dir, "contig_ploidy_info.tsv"), "a") as pf:
+    with open(os.path.join(top_dir, ploidy_tsv), "a") as pf:
         pf.write(f"{contig}\t{avg_ploidy:.3f}\t"
                  f"{total_bases_covered / contig_len:.3f}\t"
                  f"{rough_cvg:.3f}\t{total_bases_covered}\t"

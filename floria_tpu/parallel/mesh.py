@@ -28,7 +28,11 @@ from ..kernels import beam as beam_kernel
 
 
 def make_block_mesh(num_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    """Mesh over this process's LOCAL devices: block batches are per-host
+    work (contigs are sharded across hosts by parallel/multihost.py, so
+    different hosts dispatch different shapes and must not participate
+    in one global mesh)."""
+    devices = jax.local_devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), ("block",))
@@ -83,7 +87,7 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
 def _sharded_beam_fn(mesh: Mesh, max_ploidy: int, beam_width: int,
                      window: int):
     local = jax.vmap(functools.partial(
-        beam_kernel._beam_search_single, ploidy=max_ploidy,
+        beam_kernel._beam_search_single_hist, ploidy=max_ploidy,
         beam_width=beam_width,
         max_alleles=beam_kernel.constants.MAX_ALLELES, window=window))
 
@@ -100,29 +104,52 @@ def _sharded_beam_fn(mesh: Mesh, max_ploidy: int, beam_width: int,
 
 
 def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
-    """The framework's full sharded 'step': phase the local shard of block
-    instances, then reduce per-block summary statistics across the mesh
-    (the cross-block join uses these summaries; psum rides ICI).
+    """The framework's full sharded 'step': phase the local shard of
+    block instances, traceback each block's best-beam assignment ON
+    DEVICE, then all_gather the per-block partition summaries across the
+    mesh — the data the hap-graph join actually consumes
+    (graph_processing.rs:306-372's `process_chunks` exchange). The
+    all_gather rides ICI; raw read tensors never cross shards.
 
     Returns a jitted fn(alleles, weights, num_reads, epsilon) ->
-    (parts [G, R, B], total_mec []).
+    (assignments [G, R] replicated on every shard, total_mec []).
     """
     local = jax.vmap(functools.partial(
-        beam_kernel._beam_search_single, ploidy=ploidy,
+        beam_kernel._beam_search_single_hist, ploidy=ploidy,
         beam_width=beam_width,
         max_alleles=beam_kernel.constants.MAX_ALLELES, window=0))
     spec = P("block")
 
+    def traceback_device(warm_parents, warm_parts, main_parents,
+                         main_parts, scores, live):
+        """Device twin of beam.traceback for one instance: walk the
+        parent chain of the best final slot with two scans."""
+        best = jnp.argmin(jnp.where(live, scores, jnp.inf))
+
+        def back_step(b, rec):
+            parents, parts = rec
+            return parents[b], (parts[b], b)
+
+        # Main phase (reads T1..R-1), reversed.
+        b, (m_assign, _bs) = jax.lax.scan(
+            back_step, best, (main_parents, main_parts), reverse=True)
+        b, (w_assign, _bs) = jax.lax.scan(
+            back_step, b, (warm_parents, warm_parts), reverse=True)
+        return jnp.concatenate([w_assign, m_assign])
+
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(spec, spec, spec, spec),
-                       out_specs=(spec, P()),
+                       out_specs=(P(), P()),
                        check_vma=False)
     def step(alleles, weights, num_reads, epsilon):
         out = local(alleles, weights, num_reads, epsilon)
-        parts, scores, live = out[1], out[4], out[5]
+        assigns = jax.vmap(traceback_device)(*out)       # [G_loc, R]
+        scores, live = out[4], out[5]
         best = jnp.min(jnp.where(live, scores, jnp.inf), axis=1)
         best = jnp.where(jnp.isfinite(best), best, 0.0)
         total = jax.lax.psum(jnp.sum(best), "block")
-        return parts, total
+        # The join's input: every shard's block partitions, gathered.
+        all_assigns = jax.lax.all_gather(assigns, "block", tiled=True)
+        return all_assigns, total
 
     return jax.jit(step)

@@ -36,9 +36,15 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
     if num_processes is None or num_processes <= 1:
         return 0
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # Tolerate a caller that already initialized (e.g. before heavy
+        # imports); everything else is a real failure.
+        if "already" not in str(e) and "once" not in str(e):
+            raise
     return jax.process_index()
 
 
@@ -53,27 +59,43 @@ def contigs_for_process(contigs: List[str], process_id: int,
 def run_multihost(options: Options, num_processes: int, process_id: int,
                   coordinator: Optional[str] = None) -> None:
     """Phase this process's contig shard, then merge summary TSVs on
-    rank 0."""
+    rank 0 after a cross-process barrier."""
+    # Distributed init must precede anything that could initialize the
+    # XLA backend (including transitively-imported modules).
+    initialize_distributed(coordinator, num_processes, process_id)
     from ..ingest import bam as bamlib
     from ..pipeline import run
-
-    initialize_distributed(coordinator, num_processes, process_id)
     all_contigs = bamlib.get_contigs_to_phase(options.bam_file)
     mine = contigs_for_process(all_contigs, process_id, num_processes)
     options.list_to_phase = (
         [c for c in mine if c in options.list_to_phase]
         if options.list_to_phase else mine)
+    # Each process appends to its OWN summary TSV from the start —
+    # concurrent appends to a shared file would interleave rows.
+    if num_processes > 1:
+        options.ploidy_tsv = f"contig_ploidy_info.{process_id}.tsv"
+    os.makedirs(options.out_dir, exist_ok=True)
+    tsv_path = os.path.join(options.out_dir, options.ploidy_tsv)
+    if not os.path.exists(tsv_path):
+        from .. import constants
+
+        with open(tsv_path, "w") as fh:
+            fh.write(constants.CONTIG_PLOIDY_HEADER)
     run(options)
-    _rename_ploidy_tsv(options, process_id)
-    if process_id == 0:
+    _barrier(num_processes)
+    if process_id == 0 and num_processes > 1:
         _merge_ploidy_tsvs(options, all_contigs)
 
 
-def _rename_ploidy_tsv(options: Options, process_id: int) -> None:
-    src = os.path.join(options.out_dir, "contig_ploidy_info.tsv")
-    if os.path.exists(src):
-        os.replace(src, os.path.join(
-            options.out_dir, f"contig_ploidy_info.{process_id}.tsv"))
+def _barrier(num_processes: int) -> None:
+    """All processes must have written their TSVs before rank 0 merges."""
+    if num_processes <= 1:
+        return
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices("floria_tpu_tsv_merge")
 
 
 def _merge_ploidy_tsvs(options: Options,

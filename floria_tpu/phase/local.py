@@ -306,7 +306,7 @@ def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
     several devices are available."""
     import jax
 
-    n_dev = len(jax.devices())
+    n_dev = jax.local_device_count()
     if options.num_devices is not None:
         n_dev = min(n_dev, options.num_devices)
     if n_dev > 1:

@@ -32,15 +32,22 @@ def test_sharded_matches_single_device():
 
 
 def test_training_step_collective():
+    """The sharded step's all_gather'd per-block partition summaries
+    must equal the single-device kernel's host traceback."""
     mesh = make_block_mesh()
     args = _toy_batch(G=8, seed=3)
     step = training_step_sharded(mesh, ploidy=2, beam_width=4)
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P("block"))
     dev_args = [jax.device_put(a, sharding) for a in args]
-    parts, total = step(*dev_args)
-    assert parts.shape == (8, 12, 8)
+    assigns, total = step(*dev_args)
+    assert assigns.shape == (8, 12)
     assert np.isfinite(float(total))
+    res = beam_kernel.beam_search_batch(*args, ploidy=2, beam_width=4)
+    host = tuple(np.asarray(a) for a in res)
+    for g in range(8):
+        want = beam_kernel.traceback(tuple(a[g] for a in host), 12, 2)
+        np.testing.assert_array_equal(np.asarray(assigns)[g], want)
 
 
 def test_graft_entry():
