@@ -9,13 +9,19 @@ needleman-wunsch problems — ideal device shape — so we collect every
 (read, SNP) job for a contig with vectorized window gathers and run
 chunked batched affine-gap NW (Gotoh) over all (job, allele) pairs.
 
-Deviations from the reference, both documented design choices:
-- exact NW instead of block-aligner's banded block approximation (the
-  band covers the full 32x32 problem at block size 8 in most cases, so
-  scores rarely differ);
-- supplementary-alignment windows use the record's own query coordinates;
-  the reference offsets them by leading hard-clips into a hard-clipped
-  sequence (file_reader.rs:719-720), which misplaces the window.
+Deviation from the reference (documented design choice): exact NW
+instead of block-aligner's banded block approximation (the band covers
+the full 32x32 problem at block size 8 in most cases, so scores rarely
+differ).
+
+Supplementary-alignment quirk, replicated exactly for parity: the
+reference offsets a supplementary record's stored query positions by
+its leading hard-clips even though seq_string holds the hard-clipped
+sequence (file_reader.rs:719-720), so realignment windows for such
+sites are either misplaced by the clip length or dropped by the bounds
+guard (alignment.rs:24-27). Both ingest paths here reproduce that
+offset (ingest/fragments.py:66-85, native/bgzf_bam.cpp lead_hard);
+pinned by tests/test_ingest.py::test_supp_hardclip_offset_parity.
 """
 
 from __future__ import annotations

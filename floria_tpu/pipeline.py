@@ -237,8 +237,9 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
                             os.path.join(st.out_dir, "pet_graph.dot"))
     if options.do_binning:
         from .post.binning import bin_haplogroups
-        haplogroups = bin_haplogroups(haplogroups, st.cv,
-                                      options.block_length)
+        haplogroups = bin_haplogroups(
+            haplogroups, st.cv, options.block_length,
+            debug_path=os.path.join(st.out_dir, "debug_clusters.txt"))
 
     # Hybrid short frags join the same id space after the long frags.
     combined = list(final_frags)

@@ -66,7 +66,8 @@ def _dist(x: List[Tuple[int, int, float, int]],
 
 
 def bin_haplogroups(haplogroups: List[Haplogroup], cv: ContigVcf,
-                    block_len: int) -> List[Haplogroup]:
+                    block_len: int,
+                    debug_path: str | None = None) -> List[Haplogroup]:
     clusters: List[List[Tuple[int, int, float, int]]] = []
     none_clusters: List[int] = []
     for i, h in enumerate(haplogroups):
@@ -100,6 +101,16 @@ def bin_haplogroups(haplogroups: List[Haplogroup], cv: ContigVcf,
         hi_idx, lo_idx = max(i, j), min(i, j)
         removed = clusters.pop(hi_idx)
         clusters[lo_idx].extend(removed)
+
+    if debug_path is not None:
+        # The reference dumps the final cluster list
+        # (part_block_manip.rs:420-421, Rust debug format, written to
+        # the CWD; we keep it next to the contig outputs instead).
+        with open(debug_path, "w") as fh:
+            fh.write("[" + ", ".join(
+                "[" + ", ".join(
+                    f"({l}, {r}, {c}, {i})" for (l, r, c, i) in cluster)
+                + "]" for cluster in clusters) + "]")
 
     out: List[Haplogroup] = []
     for cluster in clusters:

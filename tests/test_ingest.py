@@ -206,3 +206,52 @@ def test_autodetect_estimates_and_scales(tmp_path):
     assert 3_000 <= est_l <= 5_500, est_l
     # 66th-pct column error of a 3% error sim, floored at 0.01.
     assert 0.01 <= est_e <= 0.08, est_e
+
+
+def test_supp_hardclip_offset_parity(tmp_path):
+    """Supplementary records with leading hard-clips: stored query
+    positions are offset by the clip length into the hard-clipped
+    sequence, replicating the reference quirk exactly
+    (file_reader.rs:719-720) — on both the pure-Python and native
+    ingest paths. Realignment then drops windows the offset pushes out
+    of bounds, like alignment.rs:24-27."""
+    from floria_tpu.ingest.fragments import frag_from_record
+    from floria_tpu.ingest.vcf import read_vcf
+
+    # supp flag 2048, cigar 20H 8M at pos 100; SNP at genome pos 102.
+    rec = bamwrite.encode_record("s1", 2048, 0, 100, 60,
+                                 [(20, "H"), (8, "M")], b"ACGTACGT",
+                                 [30] * 8)
+    prim = bamwrite.encode_record("s1", 0, 0, 300, 60, [(8, "M")],
+                                  b"ACGTACGT", [30] * 8)
+    path = str(tmp_path / "h.bam")
+    bamwrite.write_bam(path, [("c1", 1000)], [rec, prim])
+    vcf = tmp_path / "h.vcf"
+    vcf.write_text("##fileformat=VCFv4.2\n##contig=<ID=c1>\n"
+                   "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                   "c1\t103\t.\tG\tA\t50\tPASS\t.\n")  # 0-based 102
+    cv = read_vcf(str(vcf), ["c1"]).get("c1")
+
+    r = bamlib.BamFile(path).fetch("c1")[0]
+    assert r.flag & 2048 and r.leading_hardclips() == 20
+    frag = frag_from_record(r, cv, 0)
+    # aligned query pos of genome 102 is 2; stored offset adds the clip.
+    assert frag.snp_pos_to_seq_pos[1] == (0, 22)
+
+    from floria_tpu import native
+    if native.get_lib() is not None:
+        from floria_tpu.ingest.fastingest import (FastBam,
+                                                  extract_contig_frags)
+        fb = FastBam(path)
+        opts = Options(mapq_cutoff=15)
+        sub = extract_contig_frags(fb, cv, opts, 0)
+        supp = [f for fl, f in sub["s1"] if fl & 2048][0]
+        assert supp.snp_pos_to_seq_pos[1] == (0, 22)
+
+    # The offset pushes the window past the 8-base clipped sequence, so
+    # realignment must skip this site (bounds guard), not realign a
+    # misplaced window.
+    from floria_tpu.kernels.realign import SnpRealigner
+    realigner = SnpRealigner(b"A" * 1000, cv)
+    realigner.realign(frag)
+    assert not realigner.pool._q  # no job queued
