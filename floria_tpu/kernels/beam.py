@@ -550,58 +550,6 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
             live)
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "beam_width",
-                                             "max_alleles"))
-def warmup_state_batch(alleles, weights, num_reads, epsilon, ploidy,
-                       beam_width, max_alleles=constants.MAX_ALLELES):
-    """Warm phase + transition only; exposes the post-transition beam
-    state so an external (Pallas) kernel can run the main scan.
-
-    Returns (counts [G, W, P, A, S], score [G, W], warm_parents
-    [G, T1, B1], warm_parts, tr_parent [G, W], tr_part [G, W]).
-    Requires R > BEAM_WARMUP_READS.
-    """
-    def single(alleles, weights, num_reads, epsilon):
-        R, S = alleles.shape
-        P = ploidy
-        A = max_alleles
-        B1 = ploidy * beam_width
-        W = beam_width
-        eps = epsilon.astype(jnp.float32)
-        covered_all = alleles >= 0
-        oh_all = (alleles[:, None, :] == jnp.arange(
-            A, dtype=alleles.dtype)[None, :, None]).astype(jnp.float32)
-        counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
-        score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
-            jnp.float32)
-        live = jnp.arange(B1) == 0
-        T1 = constants.BEAM_WARMUP_READS
-
-        zero_off = jnp.zeros(R, dtype=jnp.int32)
-
-        def warm_step(state, xs):
-            counts, score, live = state
-            t, off_t, a_cov, w_t, oh_t = xs
-            counts, score, live, parent, part = _step(
-                counts, score, live, t, off_t, a_cov, w_t, oh_t,
-                num_reads, eps, width=B1, ploidy=P, out_slots=B1,
-                window=S)
-            return (counts, score, live), (parent, part)
-
-        ts = jnp.arange(R, dtype=jnp.int32)
-        (counts, score, live), (wpar, wpart) = jax.lax.scan(
-            warm_step, (counts, score, live),
-            (ts[:T1], zero_off[:T1], covered_all[:T1], weights[:T1],
-             oh_all[:T1]), unroll=_SCAN_UNROLL)
-        counts, score, live, tr_parent, tr_part = _step(
-            counts, score, live, jnp.int32(T1), jnp.int32(0),
-            covered_all[T1], weights[T1], oh_all[T1], num_reads, eps,
-            width=W, ploidy=P, out_slots=W, window=S)
-        return counts, score, wpar, wpart, tr_parent, tr_part
-
-    return jax.vmap(single)(alleles, weights, num_reads, epsilon)
-
-
 def traceback(result_g, num_reads: int, ploidy: int) -> np.ndarray:
     """Recover the best beam's read -> part assignment for one instance.
 

@@ -78,7 +78,7 @@ def main():
     def step_recon(h, t, wa, weights, oh, cov):
         win = jnp.einsum("bpr,ras->bpas", h, wa,
                          preferred_element_type=jnp.float32)
-        return h + win.sum() * 0.0
+        return h + win.sum() * 1e-30
 
     # v1: + distance reductions
     def step_dist(h, t, wa, weights, oh, cov):
@@ -90,7 +90,7 @@ def main():
         c = cov[t][None, None]
         same = (w * (c & (at == maxc))).sum(-1)
         diff = (w * (c & (at < maxc))).sum(-1)
-        return h + (same.sum() + diff.sum()) * 0.0
+        return h + (same.sum() + diff.sum()) * 1e-30 + win.sum() * 1e-30
 
     # v2: + top_k + one-hot gather + update
     def step_full(h, t, wa, weights, oh, cov):
@@ -132,7 +132,7 @@ def main():
     def step_topk(h, t, wa, weights, oh, cov):
         cand = h[:, :, 0]
         neg, idx = jax.lax.top_k(-cand.reshape(B * P), B)
-        return h + neg.sum() * 0.0 + idx.sum() * 0.0
+        return h + neg.sum() * 1e-30 + idx.sum().astype(jnp.float32) * 1e-30
 
     for name, step in (("recon-only", step_recon),
                        ("recon+dist", step_dist),
