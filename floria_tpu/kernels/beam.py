@@ -61,6 +61,44 @@ INF = float("inf")
 # overhead.
 _SCAN_UNROLL = 4
 
+# Finite stand-in for INF during candidate ranking (cumulative MEC
+# scores are bounded by the total phred weight, orders of magnitude
+# below this).
+_BIG = jnp.float32(1e30)
+_BIG_CUT = jnp.float32(1e29)
+
+
+def _rank_select(cand, out_slots):
+    """Select the best out_slots candidates of cand [B, P] in exactly
+    lax.top_k's (score asc, flattened index asc) order, via rank-by-
+    counting: a pairwise comparison matrix + one-hot picks. N here is a
+    few hundred, so the O(N^2) compare is a handful of microseconds of
+    VPU work — while lax.top_k's sort lowering dominated the whole beam
+    step (~126 of ~137 us/step measured on v5e; scripts/profile_step.py).
+
+    Returns (sel_score [out], gather_oh [out, B], part_oh [out, P],
+    parent [out] int32, part [out] int32). sel_score reproduces the
+    picked candidate bitwise (one-hot sums add exact +0s); INF
+    candidates come back as _BIG."""
+    B, P = cand.shape
+    N = B * P
+    flat = jnp.minimum(cand.reshape(N), _BIG)
+    gen = jnp.arange(N)
+    less = ((flat[None, :] < flat[:, None])
+            | ((flat[None, :] == flat[:, None])
+               & (gen[None, :] < gen[:, None])))
+    rank = less.sum(axis=1)                      # [N], a permutation
+    sel = (rank[None, :] == jnp.arange(out_slots)[:, None]).astype(
+        jnp.float32)                             # [out, N] one-hot rows
+    sel_score = (sel * flat[None, :]).sum(-1)
+    sel3 = sel.reshape(out_slots, B, P)
+    gather_oh = sel3.sum(-1)                     # [out, B]
+    part_oh = sel3.sum(-2)                       # [out, P]
+    parent = (gather_oh @ jnp.arange(B, dtype=jnp.float32)).astype(
+        jnp.int32)
+    part = (part_oh @ jnp.arange(P, dtype=jnp.float32)).astype(jnp.int32)
+    return sel_score, gather_oh, part_oh, parent, part
+
 
 class BeamResult(NamedTuple):
     """Per-phase traceback records + final beam state.
@@ -219,18 +257,14 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
                & (flat[None, :] >= flat[:, None]))
         cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
 
-    neg, idx = jax.lax.top_k(-cand.reshape(B * P), out_slots)
-    sel_score = -neg
-    new_live = (jnp.arange(out_slots) < width) & jnp.isfinite(sel_score)
-    parent = idx // P
-    part = idx % P
+    sel_score, gather_oh, part_oh, parent, part = _rank_select(
+        cand, out_slots)
+    new_live = (jnp.arange(out_slots) < width) & (sel_score < _BIG_CUT)
 
     # Beam gather as a one-hot MXU matmul — substantially faster than an
     # indexed gather on TPU for these shapes.
-    gather_oh = jax.nn.one_hot(parent, B, dtype=jnp.float32)
     neww = jnp.einsum("bB,BPAS->bPAS", gather_oh, win,
                       preferred_element_type=jnp.float32)
-    part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
     update = w_w[None, :] * oh_w                            # [A, Wn]
     neww = neww + part_oh[:, :, None, None] * update[None, None]
     new_score = jnp.where(new_live, sel_score, INF)
@@ -359,16 +393,12 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
                & (flat[None, :] >= flat[:, None]))
         cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
 
-    neg, idx = jax.lax.top_k(-cand.reshape(B * P), out_slots)
-    sel_score = -neg
-    new_live = (jnp.arange(out_slots) < width) & jnp.isfinite(sel_score)
-    parent = idx // P
-    part = idx % P
+    sel_score, gather_oh, part_oh, parent, part = _rank_select(
+        cand, out_slots)
+    new_live = (jnp.arange(out_slots) < width) & (sel_score < _BIG_CUT)
 
-    gather_oh = jax.nn.one_hot(parent, B, dtype=jnp.float32)
     newhist = jnp.einsum("bB,BPR->bPR", gather_oh, hist,
                          preferred_element_type=jnp.float32)
-    part_oh = jax.nn.one_hot(part, P, dtype=jnp.float32)    # [B', P]
     t_oh = (jnp.arange(R) == t).astype(jnp.float32)         # [R]
     newhist = newhist + part_oh[:, :, None] * t_oh[None, None, :]
     new_score = jnp.where(new_live, sel_score, INF)
