@@ -23,46 +23,78 @@ from ..options import Options
 
 class _PartState:
     """Haplogroup consensus counts supporting remove/re-add
-    (utils_frags.rs:465-490 add/remove_read_from_block). Dense
-    [num_snps+1, A] arrays per part, vectorized per-fragment updates."""
+    (utils_frags.rs:465-490 add/remove_read_from_block). Each part's
+    counts are a dense [span, A] window over the part's own SNP range
+    (grown on demand), not the whole contig — per-part full-contig
+    arrays cost O(parts * num_snps) memory, gigabytes on deep
+    multi-haplogroup contigs."""
 
     def __init__(self, frags: Sequence[Frag], parts: List[Set[int]]):
         self.frags = frags
-        num_snps = 0
+        self.counts: List[np.ndarray] = []
+        self.lo: List[int] = []
         for ids in parts:
+            lo = None
+            hi = None
             for fid in ids:
                 f = frags[fid]
                 if len(f.snps):
-                    num_snps = max(num_snps, int(f.snps[-1]))
-        self.counts: List[np.ndarray] = []
-        for ids in parts:
-            c = np.zeros((num_snps + 2, constants.MAX_ALLELES))
+                    flo, fhi = int(f.snps[0]), int(f.snps[-1])
+                    lo = flo if lo is None else min(lo, flo)
+                    hi = fhi if hi is None else max(hi, fhi)
+            if lo is None:
+                lo, hi = 0, -1
+            c = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
             for fid in ids:
                 f = frags[fid]
-                np.add.at(c, (f.snps, f.alleles), f.weights)
+                np.add.at(c, (f.snps - lo, f.alleles), f.weights)
             self.counts.append(c)
+            self.lo.append(lo)
+
+    def _ensure(self, part: int, flo: int, fhi: int) -> None:
+        lo = self.lo[part]
+        hi = lo + len(self.counts[part]) - 1
+        if flo >= lo and fhi <= hi:
+            return
+        new_lo = min(lo, flo)
+        new_hi = max(hi, fhi)
+        c = np.zeros((new_hi - new_lo + 1, constants.MAX_ALLELES))
+        c[lo - new_lo:lo - new_lo + len(self.counts[part])] = \
+            self.counts[part]
+        self.counts[part] = c
+        self.lo[part] = new_lo
 
     def remove(self, fid: int, part: int) -> None:
-        c = self.counts[part]
         f = self.frags[fid]
-        cur = c[f.snps, f.alleles]
+        if not len(f.snps):
+            return
+        self._ensure(part, int(f.snps[0]), int(f.snps[-1]))
+        c = self.counts[part]
+        idx = f.snps - self.lo[part]
+        cur = c[idx, f.alleles]
         # site_counter -= w only when nonzero; clamp at zero
         # (utils_frags.rs:476-490).
         new = np.where(cur != 0.0, cur - f.weights, cur)
-        c[f.snps, f.alleles] = np.maximum(new, 0.0)
+        c[idx, f.alleles] = np.maximum(new, 0.0)
 
     def add(self, fid: int, part: int) -> None:
-        c = self.counts[part]
         f = self.frags[fid]
-        np.add.at(c, (f.snps, f.alleles), f.weights)
+        if not len(f.snps):
+            return
+        self._ensure(part, int(f.snps[0]), int(f.snps[-1]))
+        np.add.at(self.counts[part],
+                  (f.snps - self.lo[part], f.alleles), f.weights)
 
     def distance(self, fid: int, part: int,
                  epsilon: float) -> Tuple[float, float]:
         """(same, diff) with the epsilon-empty rules
         (utils_frags.rs:32-75)."""
-        c = self.counts[part]
         f = self.frags[fid]
-        sites = c[f.snps]                       # [n, A]
+        if not len(f.snps):
+            return 0.0, 0.0
+        self._ensure(part, int(f.snps[0]), int(f.snps[-1]))
+        c = self.counts[part]
+        sites = c[f.snps - self.lo[part]]       # [n, A]
         maxc = sites.max(axis=1)
         at = sites[np.arange(len(f.snps)), f.alleles]
         empty = maxc == 0.0

@@ -46,20 +46,26 @@ def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
 
 def _consensus_map(frags: Sequence[Frag],
                    frag_ids) -> Dict[int, Tuple[int, np.ndarray]]:
-    """snp -> (consensus allele, counts[A]) phred-weighted, full range."""
-    num_snps = 0
+    """snp -> (consensus allele, counts[A]) phred-weighted; accumulator
+    spans only the part's own SNP range (O(part span), not O(contig))."""
+    lo = None
+    hi = None
     for fid in frag_ids:
         f = frags[int(fid)]
         if len(f.snps):
-            num_snps = max(num_snps, int(f.snps[-1]))
-    acc = np.zeros((num_snps + 2, constants.MAX_ALLELES))
-    covered = np.zeros(num_snps + 2, dtype=bool)
+            flo, fhi = int(f.snps[0]), int(f.snps[-1])
+            lo = flo if lo is None else min(lo, flo)
+            hi = fhi if hi is None else max(hi, fhi)
+    if lo is None:
+        return {}
+    acc = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
+    covered = np.zeros(hi - lo + 1, dtype=bool)
     for fid in frag_ids:
         f = frags[int(fid)]
-        np.add.at(acc, (f.snps, f.alleles), f.weights)
-        covered[f.snps] = True
+        np.add.at(acc, (f.snps - lo, f.alleles), f.weights)
+        covered[f.snps - lo] = True
     cons = acc.argmax(axis=1)
-    return {int(p): (int(cons[p]), acc[p])
+    return {int(p) + lo: (int(cons[p]), acc[p])
             for p in np.flatnonzero(covered)}
 
 
