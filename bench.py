@@ -60,18 +60,25 @@ def make_workload(G, R, S, num_strains=3, epsilon=0.02, seed=0):
 
 
 def measure_kernel(args, quick):
-    from floria_tpu.kernels.beam import beam_search_batch
+    """Production-path sweep: ONE mixed-ploidy dispatch phases every
+    block at ploidies 2..5 simultaneously (what phase_instances
+    dispatches per shape bucket)."""
+    from floria_tpu.kernels.beam import beam_search_batch_mixed
 
-    G, R, _S = args[0].shape
+    alleles, weights, num_reads, eps = args
+    G, R, _S = alleles.shape
     ploidies = (2, 3, 4, 5)
     iters = 2 if quick else 3
+    alleles4 = np.concatenate([alleles] * len(ploidies))
+    weights4 = np.concatenate([weights] * len(ploidies))
+    nr4 = np.concatenate([num_reads] * len(ploidies))
+    eps4 = np.concatenate([eps] * len(ploidies))
+    nparts = np.repeat(np.array(ploidies, dtype=np.int32), G)
 
     def sweep():
-        outs = []
-        for p in ploidies:
-            outs.append(beam_search_batch(*args, ploidy=p, beam_width=10))
-        for o in outs:
-            o[0].block_until_ready()
+        out = beam_search_batch_mixed(alleles4, weights4, nr4, eps4,
+                                      nparts, max(ploidies), 10)
+        out[0].block_until_ready()
 
     sweep()  # compile + warm
     t0 = time.time()
