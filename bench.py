@@ -63,17 +63,24 @@ def measure_kernel(args, quick):
     """Production-path sweep: ONE mixed-ploidy dispatch phases every
     block at ploidies 2..5 simultaneously (what phase_instances
     dispatches per shape bucket)."""
+    import jax
+
     from floria_tpu.kernels.beam import beam_search_batch_mixed
 
     alleles, weights, num_reads, eps = args
     G, R, _S = alleles.shape
     ploidies = (2, 3, 4, 5)
     iters = 2 if quick else 3
-    alleles4 = np.concatenate([alleles] * len(ploidies))
-    weights4 = np.concatenate([weights] * len(ploidies))
-    nr4 = np.concatenate([num_reads] * len(ploidies))
-    eps4 = np.concatenate([eps] * len(ploidies))
-    nparts = np.repeat(np.array(ploidies, dtype=np.int32), G)
+    # Device-resident inputs: the kernel metric measures compute, not
+    # the host->device link (whose cost shows up in the e2e metric; on
+    # this image the remote-TPU tunnel moves ~10 MB per upload, which
+    # used to dominate and masked every kernel change).
+    alleles4 = jax.device_put(np.concatenate([alleles] * len(ploidies)))
+    weights4 = jax.device_put(np.concatenate([weights] * len(ploidies)))
+    nr4 = jax.device_put(np.concatenate([num_reads] * len(ploidies)))
+    eps4 = jax.device_put(np.concatenate([eps] * len(ploidies)))
+    nparts = jax.device_put(np.repeat(np.array(ploidies,
+                                               dtype=np.int32), G))
 
     def sweep():
         out = beam_search_batch_mixed(alleles4, weights4, nr4, eps4,

@@ -49,7 +49,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
+from ..frag import phred_weight
 from .scores import binom_tail_jnp, log_sum_exp_jnp
+
+# phred qual -> weight, computed host-side with the exact expression
+# frag.freeze uses, so device-reconstructed weights are bitwise equal to
+# host weights. Index 0 maps to 0.0, matching zeroed padding.
+_PHRED_TABLE = phred_weight(np.arange(256, dtype=np.uint8))
+
+
+@jax.jit
+def quals_to_weights(quals: jax.Array) -> jax.Array:
+    """Device-side weight reconstruction from uint8 quals (uploads
+    shrink 5 bytes/cell -> 2; the remote-TPU link made transfer the
+    dominant dispatch cost)."""
+    return jnp.take(jnp.asarray(_PHRED_TABLE), quals.astype(jnp.int32))
 
 # Plain python float: a module-level jnp scalar would initialize the
 # XLA backend at import time, breaking jax.distributed.initialize for

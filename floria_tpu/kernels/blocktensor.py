@@ -31,6 +31,12 @@ class BlockTensor:
     alleles: np.ndarray             # [R_pad, S_pad] int8, -1 = uncovered
     weights: np.ndarray             # [R_pad, S_pad] f32
     snp_range: Tuple[int, int]      # nominal block interval (1-based, incl.)
+    # Raw phred quals (uint8, 0 at uncovered): what actually ships to the
+    # device — 1 byte/cell vs 4 for weights; the device reconstructs
+    # weights bitwise via the shared 256-entry table (kernels/beam
+    # _PHRED_TABLE). quals==0 maps to weight 0.0, matching the zeroed
+    # padding of `weights`.
+    quals: Optional[np.ndarray] = None
 
     @property
     def covered(self) -> np.ndarray:
@@ -65,15 +71,18 @@ def pack_block(frags: Sequence, snp_range: Tuple[int, int],
     r_pad = round_up(num_reads, read_align)
     alleles = np.full((r_pad, s_pad), -1, dtype=np.int8)
     weights = np.zeros((r_pad, s_pad), dtype=np.float32)
+    quals = np.zeros((r_pad, s_pad), dtype=np.uint8)
     frag_ids = np.empty(num_reads, dtype=np.int64)
     for r, frag in enumerate(frags):
         frag_ids[r] = frag.counter_id
         cols = frag.snps - lo
         alleles[r, cols] = frag.alleles
         weights[r, cols] = frag.weights
+        quals[r, cols] = frag.quals
     return BlockTensor(frag_ids=frag_ids, lo=lo, num_sites=num_sites,
                        num_reads=num_reads, alleles=alleles,
-                       weights=weights, snp_range=snp_range)
+                       weights=weights, snp_range=snp_range,
+                       quals=quals)
 
 
 def partition_counts(block: BlockTensor, assignment: np.ndarray,

@@ -213,21 +213,27 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     # One device dispatch per shape group runs the whole <=20-iteration
     # hill-climb on device (no per-iteration host round trips); launch
     # every group async before pulling any result.
+    import jax
+
+    from ..kernels import beam as beam_kernel
+
     pending = []
     for (ploidy, r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
-        weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
+        quals = np.zeros((G, r_pad, s_pad), dtype=np.uint8)
         assigns = np.zeros((G, r_pad), dtype=np.int32)
         nreads = np.zeros(G, dtype=np.int32)
         for g, (j, bt) in enumerate(members):
             r, s = bt.alleles.shape
             alleles[g, :r, :s] = bt.alleles
-            weights[g, :r, :s] = bt.weights
+            quals[g, :r, :s] = bt.quals
             nreads[g] = bt.num_reads
             if ploidy > 1:
                 assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
         eps = np.full(G, options.epsilon, dtype=np.float32)
+        alleles = jax.device_put(alleles)
+        weights = beam_kernel.quals_to_weights(jax.device_put(quals))
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
         pending.append((members, ploidy, best, mec))
@@ -264,23 +270,30 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
 
     # Launch every group's device call first (async), then pull results
     # and run tracebacks — avoids serializing on device-link latency.
+    # Quals ship as uint8 and become weights on device (bitwise equal to
+    # host weights via the shared table) — 2 bytes/cell over the link
+    # instead of 5.
+    import jax
+
     max_ploidy = max(ploidies) if ploidies else 1
     pending = []
     for (r_pad, s_pad), members in groups.items():
         G = len(members)
         alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
-        weights = np.zeros((G, r_pad, s_pad), dtype=np.float32)
+        quals = np.zeros((G, r_pad, s_pad), dtype=np.uint8)
         nreads = np.zeros(G, dtype=np.int32)
         nparts = np.ones(G, dtype=np.int32)
         max_span = 0
         for g, (ploidy, _j, bt) in enumerate(members):
             r, s = bt.alleles.shape
             alleles[g, :r, :s] = bt.alleles
-            weights[g, :r, :s] = bt.weights
+            quals[g, :r, :s] = bt.quals
             nreads[g] = bt.num_reads
             nparts[g] = ploidy
             max_span = max(max_span, bt.max_read_span())
         eps = np.full(G, options.epsilon, dtype=np.float32)
+        alleles = jax.device_put(alleles)
+        weights = beam_kernel.quals_to_weights(jax.device_put(quals))
         # Sliding compute window: columns behind the sorted-read frontier
         # are never read again, so per-step work scales with the max read
         # span instead of the block width. Coarsely bucketed to limit

@@ -35,12 +35,12 @@ def run_case(G, R, S, window, iters=3, impl="hist", dedup=True):
     nparts[G // 4: G // 2] = 3
     nparts[G // 2: 3 * G // 4] = 4
 
+    dev = [jax.device_put(a) for a in (alleles, weights, num_reads,
+                                       eps, nparts)]
+
     def sweep():
-        out = beam_search_batch_mixed(
-            jax.numpy.asarray(alleles), jax.numpy.asarray(weights),
-            jax.numpy.asarray(num_reads), jax.numpy.asarray(eps),
-            jax.numpy.asarray(nparts), 5, 10, window=window,
-            impl=impl, dedup=dedup)
+        out = beam_search_batch_mixed(*dev, 5, 10, window=window,
+                                      impl=impl, dedup=dedup)
         out[0].block_until_ready()
 
     t0 = time.time()
