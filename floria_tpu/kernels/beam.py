@@ -8,8 +8,9 @@ Reimplements the reference's per-block beam search
   minor (lane) dimension so tiles map onto the VPU without padding waste;
 - one lax.scan step inserts one read: distances of the read against every
   (beam, part) pair are masked reductions over S; the binomial tail +
-  log-sum-exp posterior prunes branches; a single lax.top_k replaces the
-  BinaryHeap;
+  log-sum-exp posterior prunes branches; rank-by-counting selection
+  (_rank_select) replaces the BinaryHeap — bit-equal to lax.top_k order
+  but ~10x cheaper than its sort lowering on TPU;
 - the scan runs in two phases matching the reference's beam widening
   (global_clustering.rs:50-55): the first 25 reads keep ploidy*W beam
   slots, a transition step selects the top W, and the remaining reads
