@@ -660,6 +660,73 @@ def vartigs_text(parts, ranges, out_dir_name, contig, frags,
     return "".join(line + "\n" for line in lines)
 
 
+def vartig_info_text(parts, ranges, out_dir_name, frags,
+                     snp_to_genome_pos) -> str:
+    """vartig_info.txt (file_writer.rs:308-369): per-SNP consensus +
+    unweighted allele counts per haplogroup."""
+    out = []
+    for i, ids in enumerate(parts):
+        if not ids:
+            continue
+        left, right = ranges[i]
+        out.append(f">HAP{i}.{out_dir_name}\tSNPRANGE:{left}-{right}\n")
+        counts: Dict[int, Dict[int, float]] = {}
+        for fid in sorted(ids):
+            f = frags[fid]
+            for p, a in zip(f.snps, f.alleles):
+                p = int(p)
+                if left <= p <= right:
+                    site = counts.setdefault(p, {})
+                    site[int(a)] = site.get(int(a), 0.0) + 1.0
+        if not counts:
+            continue
+        for pos in range(left, right + 1):
+            out.append(f"{pos}:{int(snp_to_genome_pos[pos - 1])}\t")
+            site = counts.get(pos)
+            if not site:
+                out.append("?\tNA\t")
+            else:
+                out.append(f"{_consensus(site)}\t")
+                entries = [f"{a}:{int(math.floor(site[a] + 0.5))}"
+                           for a in sorted(site) if site[a] > 0]
+                out.append("|".join(entries) + "\t")
+            out.append("\n")
+    return "".join(out)
+
+
+def ploidy_row(parts, ranges, contig, frags, snp_to_genome_pos, hapqs,
+               avg_err, contig_len) -> str:
+    """One contig_ploidy_info.tsv row (file_writer.rs:841-915)."""
+    num_snps = len(snp_to_genome_pos)
+    covered = [0.0] * num_snps
+    coverage = [0.0] * num_snps
+    covered_q = {15: [0.0] * num_snps, 30: [0.0] * num_snps,
+                 45: [0.0] * num_snps}
+    total_bases = 0
+    for i, ids in enumerate(parts):
+        if not ids:
+            continue
+        left, right = ranges[i]
+        total_bases += (int(snp_to_genome_pos[right - 1])
+                        - int(snp_to_genome_pos[left - 1]))
+        cov, _err, _te, _tc = errors_cov(frags, ids, left, right)
+        for s in range(left - 1, right):
+            covered[s] += 1.0
+            coverage[s] += cov
+            for q, arr in covered_q.items():
+                if hapqs[i] >= q:
+                    arr[s] += 1.0
+    nonzero = sum(1 for c in covered if c > 0)
+    avg_ploidy = sum(covered) / num_snps if num_snps else math.nan
+    avg_q = {q: (sum(a) / num_snps if num_snps else math.nan)
+             for q, a in covered_q.items()}
+    rough = sum(coverage) / nonzero if nonzero else math.nan
+    return (f"{contig}\t{avg_ploidy:.3f}\t"
+            f"{total_bases / contig_len:.3f}\t{rough:.3f}\t{total_bases}"
+            f"\t{avg_q[15]:.3f}\t{avg_q[30]:.3f}\t{avg_q[45]:.3f}\t"
+            f"{avg_err:.4f}\n")
+
+
 def haplosets_text(parts, ranges, out_dir_name, contig, frags,
                    snp_to_genome_pos, hapqs, rel) -> str:
     lines = []
@@ -686,8 +753,8 @@ def haplosets_text(parts, ranges, out_dir_name, contig, frags,
 
 def phase_contig(frags, snp_to_genome_pos, options,
                  use_native: bool = True):
-    """(parts, ranges, hapqs, rel_err): the post-ingest pipeline on one
-    contig's sorted frozen fragments."""
+    """(parts, ranges, hapqs, rel_err, avg_err): the post-ingest
+    pipeline on one contig's sorted frozen fragments."""
     ranges_blocks = block_ranges(snp_to_genome_pos, options.block_length,
                                  options.block_length // 3,
                                  options.snp_density)
@@ -705,6 +772,6 @@ def phase_contig(frags, snp_to_genome_pos, options,
     flow_vec = solve_flows(columns, out_edges)
     haplogroups = widest_paths(columns, col_ranges, flow_vec, frags)
     parts, ranges = final_parts(haplogroups, frags, options)
-    hapqs, rel, _avg = hapq_scores(parts, ranges, frags,
-                                   snp_to_genome_pos, options)
-    return parts, ranges, hapqs, rel
+    hapqs, rel, avg_err = hapq_scores(parts, ranges, frags,
+                                      snp_to_genome_pos, options)
+    return parts, ranges, hapqs, rel, avg_err

@@ -73,14 +73,28 @@ def test_pipeline_matches_oracle(name, tmp_path):
         got_vartigs = f.read()
     with open(os.path.join(cdir, f"{contig}.haplosets")) as f:
         got_haplosets = f.read()
+    with open(os.path.join(cdir, "vartig_info.txt")) as f:
+        got_info = f.read()
+    with open(os.path.join(str(out_dir), "contig_ploidy_info.tsv")) as f:
+        got_ploidy = f.read().splitlines()[-1] + "\n"
 
     frags, _nosnp, cv = _ingest_like_pipeline(opts, contig)
-    parts, ranges, hapqs, rel = oracle_pipeline.phase_contig(
+    parts, ranges, hapqs, rel, avg_err = oracle_pipeline.phase_contig(
         frags, cv.genome_pos, opts)
     want_vartigs = oracle_pipeline.vartigs_text(
         parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
     want_haplosets = oracle_pipeline.haplosets_text(
         parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
+    want_info = oracle_pipeline.vartig_info_text(
+        parts, ranges, cdir, frags, cv.genome_pos)
+    with open(os.path.join(str(sim_dir), "sim.fa")) as f:
+        contig_len = sum(len(l.strip()) for l in f if not
+                         l.startswith(">"))
+    want_ploidy = oracle_pipeline.ploidy_row(
+        parts, ranges, contig, frags, cv.genome_pos, hapqs, avg_err,
+        contig_len)
 
     assert got_vartigs == want_vartigs
     assert got_haplosets == want_haplosets
+    assert got_info == want_info
+    assert got_ploidy == want_ploidy
