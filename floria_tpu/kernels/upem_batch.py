@@ -123,25 +123,32 @@ def _apply_moves_single(assign, diff, num_reads):
     n_moves = n_valid // 10
     n_moves = jnp.where(n_moves == 0, n_valid // 3 + 1, n_moves)
 
-    def step(carry, k):
-        new_assign, moved, cur, stop = carry
+    # Early-exiting walk: the reference breaks right after the applied
+    # candidate whose index passes the cap, so on average only
+    # ~n_valid/10 of the K = R*P sorted slots are ever visited — a
+    # while_loop stops there instead of scanning all K.
+    def cond(carry):
+        k, _a, _m, _c, stop = carry
+        return (k < n_valid) & ~stop
+
+    def body(carry):
+        k, new_assign, moved, cur, stop = carry
         idx = order[k]
         r = idx // P
         j = idx % P
         i = assign[r]  # source = original part (reads move at most once)
-        ok = ((k < n_valid) & ~stop & ~moved[r] & (cur[i] != 1))
+        ok = ~moved[r] & (cur[i] != 1)
         new_assign = new_assign.at[r].set(
             jnp.where(ok, j, new_assign[r]))
         moved = moved.at[r].set(moved[r] | ok)
         d = ok.astype(jnp.int32)
         cur = cur.at[j].add(d).at[i].add(-d)
-        stop = stop | (ok & (k > n_moves))
-        return (new_assign, moved, cur, stop), None
+        stop = ok & (k > n_moves)
+        return (k + 1, new_assign, moved, cur, stop)
 
-    init = (assign, jnp.zeros(R, dtype=bool), sizes0,
+    init = (jnp.int32(0), assign, jnp.zeros(R, dtype=bool), sizes0,
             jnp.zeros((), dtype=bool))
-    (new_assign, _m, _c, _s), _ = jax.lax.scan(
-        step, init, jnp.arange(K))
+    _k, new_assign, _m, _c, _s = jax.lax.while_loop(cond, body, init)
     return new_assign
 
 
