@@ -10,6 +10,7 @@ reference implementation and the fallback.
 from __future__ import annotations
 
 import ctypes
+import itertools
 import struct
 from typing import Dict, List, Tuple
 
@@ -87,6 +88,26 @@ class FastBam:
             np.uint8).tobytes()
         return seq, qual33
 
+    def payloads_batch(self, idx: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(seq_buf, qual_buf, offsets) for records idx, decoded in one
+        native pass: seq_buf/qual_buf hold record k's ASCII bases /
+        phred+33 quals at [offsets[k], offsets[k+1])."""
+        lib = native.get_lib()
+        _bind_extract(lib)
+        n = len(idx)
+        ls = self.l_seq[idx]
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(ls, out=offs[1:])
+        seq_buf = np.empty(int(offs[-1]), np.uint8)
+        qual_buf = np.empty(int(offs[-1]), np.uint8)
+        lib.floria_unpack_payloads(
+            self._data, np.ascontiguousarray(self.rec_off[idx]),
+            np.ascontiguousarray(self.l_read_name[idx]),
+            np.ascontiguousarray(self.n_cigar[idx]),
+            np.ascontiguousarray(ls), offs[:-1], n, seq_buf, qual_buf)
+        return seq_buf, qual_buf, offs
+
 
 def _bind_extract(lib) -> None:
     if getattr(lib, "_extract_bound", False):
@@ -111,6 +132,18 @@ def _bind_extract(lib) -> None:
     lib.floria_bam_scan.argtypes = (
         [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
         + [ctypes.c_void_p] * 8)
+    lib.floria_unpack_payloads.restype = None
+    lib.floria_unpack_payloads.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
     lib._extract_bound = True
 
 
@@ -186,6 +219,8 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
     site_ranges = {int(out_rec[boundaries[k]]):
                    (int(boundaries[k]), int(boundaries[k + 1]))
                    for k in range(len(boundaries) - 1)}
+    seq_buf, qual_buf, pay_offs = fb.payloads_batch(sel)
+    qpos_all = out_qpos.tolist()
     for local_idx in range(n_rec):
         gi = int(sel[local_idx])
         flag = int(fb.flag[gi])
@@ -195,9 +230,9 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
         frag.first_pos_base = int(fb.pos[gi])
         lo_hi = site_ranges.get(local_idx)
         frag.last_pos_base = int(rec_end[local_idx])
-        seq, qual33 = fb.payload(gi)
-        frag.seq_string[0] = seq
-        frag.qual_string[0] = qual33
+        p0, p1 = int(pay_offs[local_idx]), int(pay_offs[local_idx + 1])
+        frag.seq_string[0] = seq_buf[p0:p1].tobytes()
+        frag.qual_string[0] = qual_buf[p0:p1].tobytes()
         if lo_hi is not None:
             lo, hi = lo_hi
             snps = out_snp[lo:hi].astype(np.int64) + 1
@@ -207,12 +242,12 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
             frag.qual_dict = dict(zip(snp_list,
                                       out_qual[lo:hi].tolist()))
             frag.snp_pos_to_seq_pos = dict(zip(
-                snp_list, ((0, int(qp)) for qp in out_qpos[lo:hi])))
+                snp_list, zip(itertools.repeat(0), qpos_all[lo:hi])))
             frag.first_position = int(snps[0])
             frag.last_position = int(snps[-1])
             if realigner is not None:
                 realigner.add_jobs(
                     frag, snps, out_qpos[lo:hi].astype(np.int64),
-                    np.frombuffer(seq, dtype=np.uint8))
+                    seq_buf[p0:p1])
         by_name.setdefault(frag.id, []).append((flag, frag))
     return by_name

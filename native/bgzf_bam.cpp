@@ -110,6 +110,33 @@ void floria_unpack_seqs(const uint8_t* data, const int64_t* seq_off,
     }
 }
 
+// Decode (seq, qual) payloads for a batch of records in one pass:
+// ASCII bases into out_seq and phred+33 (clamped at 255) quals into
+// out_qual, both at out_off[i]. rec_off[i] is the record body offset as
+// produced by floria_bam_scan; the packed sequence starts after the
+// fixed 32-byte prefix, read name, and CIGAR words.
+void floria_unpack_payloads(const uint8_t* data, const int64_t* rec_off,
+                            const uint8_t* l_read_name,
+                            const uint16_t* n_cigar, const int32_t* l_seq,
+                            const int64_t* out_off, int64_t n,
+                            uint8_t* out_seq, uint8_t* out_qual) {
+    static const char codes[17] = "=ACMGRSVTWYHKDBN";
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t L = l_seq[i];
+        const uint8_t* src = data + rec_off[i] + 32 + l_read_name[i]
+                             + 4 * static_cast<int64_t>(n_cigar[i]);
+        const uint8_t* q = src + (L + 1) / 2;
+        uint8_t* ds = out_seq + out_off[i];
+        uint8_t* dq = out_qual + out_off[i];
+        for (int32_t j = 0; j < L; ++j) {
+            uint8_t b = src[j >> 1];
+            ds[j] = codes[(j & 1) ? (b & 0xF) : (b >> 4)];
+            int v = q[j] + 33;
+            dq[j] = v > 255 ? 255 : static_cast<uint8_t>(v);
+        }
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
