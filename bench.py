@@ -154,7 +154,9 @@ def measure_e2e(quick):
     if os.path.exists(hs):
         with open(hs) as fh:
             n_reads += sum(1 for line in fh if not line.startswith(">"))
-    return n_reads / elapsed, elapsed, n_reads
+    from floria_tpu import timing
+    stages = {k: round(v, 1) for k, v in timing.STAGE_TIMES.items()}
+    return n_reads / elapsed, elapsed, n_reads, stages
 
 
 def main():
@@ -180,10 +182,11 @@ def main():
         "baseline_measured": base_faithful is not None,
     }
     if not skip_e2e:
-        e2e_rps, e2e_s, e2e_reads = measure_e2e(quick)
+        e2e_rps, e2e_s, e2e_reads, e2e_stages = measure_e2e(quick)
         result["e2e_reads_per_sec"] = round(e2e_rps, 1)
         result["e2e_seconds"] = round(e2e_s, 1)
         result["e2e_reads"] = e2e_reads
+        result["e2e_stages"] = e2e_stages
     print(json.dumps(result))
 
 

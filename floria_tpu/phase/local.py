@@ -22,6 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .. import timing
 from ..kernels import beam as beam_kernel
 from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
@@ -142,10 +143,12 @@ def phase_contigs_blocks(per_contig, options: Options
     t0 = time.time()
     assignments = phase_instances(
         blocks, options, ploidies=range(2, options.max_ploidy + 1))
+    timing.add("beam", time.time() - t0)
     _log.info("Beam search: %d blocks x %d ploidies in %.2fs",
               len(blocks), options.max_ploidy, time.time() - t0)
     t0 = time.time()
     refined, mec_stats = refine_instances(blocks, assignments, options)
+    timing.add("upem", time.time() - t0)
     _log.info("UPEM refinement in %.2fs", time.time() - t0)
 
     for (ci, j), bt in blocks:

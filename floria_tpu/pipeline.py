@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from . import fragops
+from . import fragops, timing
 from .frag import Frag, sort_and_renumber
 from .graph.edges import update_hap_graph
 from .graph.flow import solve_lp_graph
@@ -68,6 +68,7 @@ class _ContigState:
 
 def run(options: Options) -> None:
     options.validate()
+    timing.reset()
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
@@ -184,6 +185,7 @@ def _run_group(group: List[str], main_bam, short_bam,
         return
     log.info("Reading inputs, realigning time taken %.2fs",
              time.time() - t0)
+    timing.add("ingest_realign", time.time() - t0)
 
     phasing_t = time.time()
     results_by_contig = phase_contigs_blocks(
@@ -191,8 +193,10 @@ def _run_group(group: List[str], main_bam, short_bam,
          for st in states], options)
     log.info("Phasing time taken %.2fs", time.time() - phasing_t)
 
+    join_t = time.time()
     for st in states:
         _finish_contig(st, results_by_contig.get(st.contig, []), options)
+    timing.add("join_outputs", time.time() - join_t)
 
 
 def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
