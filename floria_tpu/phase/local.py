@@ -141,13 +141,16 @@ def phase_contigs_blocks(per_contig, options: Options
 
     _log = logging.getLogger("floria_tpu")
     t0 = time.time()
+    cache = BlockDeviceCache(blocks)
     assignments = phase_instances(
-        blocks, options, ploidies=range(2, options.max_ploidy + 1))
+        blocks, options, ploidies=range(2, options.max_ploidy + 1),
+        cache=cache)
     timing.add("beam", time.time() - t0)
     _log.info("Beam search: %d blocks x %d ploidies in %.2fs",
               len(blocks), options.max_ploidy, time.time() - t0)
     t0 = time.time()
-    refined, mec_stats = refine_instances(blocks, assignments, options)
+    refined, mec_stats = refine_instances(blocks, assignments, options,
+                                          cache=cache)
     timing.add("upem", time.time() - t0)
     _log.info("UPEM refinement in %.2fs", time.time() - t0)
 
@@ -192,9 +195,54 @@ def _dump_local_parts(debug_dir: str, j: int, bt: BlockTensor, part_ids,
                         f"{fr.last_position}\n")
 
 
+class BlockDeviceCache:
+    """Unique block tensors resident on device, bucketed by padded
+    shape. Blocks are uploaded ONCE per contig group; the beam and UPEM
+    stages assemble their per-(block, ploidy) instance batches by
+    on-device gathers from these arrays instead of re-packing and
+    re-uploading the same reads once per ploidy (a 4x+5x transfer
+    saving on the default 2..5 sweep — the host->device link, not the
+    kernel, dominates the phasing stages)."""
+
+    def __init__(self, blocks: List[Tuple[int, BlockTensor]]):
+        import jax
+
+        buckets: Dict[Tuple[int, int],
+                      List[Tuple[int, BlockTensor]]] = {}
+        for j, bt in blocks:
+            key = (_bucket_reads(bt.num_reads),
+                   _bucket_sites(bt.num_sites))
+            buckets.setdefault(key, []).append((j, bt))
+        self.rows: Dict[object, int] = {}
+        self.dev: Dict[Tuple[int, int], Tuple[object, object]] = {}
+        for (r_pad, s_pad), members in buckets.items():
+            B = len(members)
+            alleles = np.full((B, r_pad, s_pad), -1, dtype=np.int8)
+            quals = np.zeros((B, r_pad, s_pad), dtype=np.uint8)
+            for b, (j, bt) in enumerate(members):
+                r, s = bt.alleles.shape
+                alleles[b, :r, :s] = bt.alleles
+                quals[b, :r, :s] = bt.quals
+                self.rows[j] = b
+            dev_a = jax.device_put(alleles)
+            dev_w = beam_kernel.quals_to_weights(jax.device_put(quals))
+            self.dev[(r_pad, s_pad)] = (dev_a, dev_w)
+
+    def gather(self, key: Tuple[int, int], block_ids: List[object]):
+        """Device-side [G, r_pad, s_pad] (alleles, weights) for the
+        given blocks, in order (duplicates fine)."""
+        import jax.numpy as jnp
+
+        dev_a, dev_w = self.dev[key]
+        idx = jnp.asarray(
+            np.array([self.rows[j] for j in block_ids], np.int32))
+        return jnp.take(dev_a, idx, axis=0), jnp.take(dev_w, idx, axis=0)
+
+
 def refine_instances(blocks: List[Tuple[int, BlockTensor]],
                      assignments: Dict[Tuple[int, int], np.ndarray],
-                     options: Options) -> Tuple[
+                     options: Options,
+                     cache: Optional[BlockDeviceCache] = None) -> Tuple[
                          Dict[Tuple[int, int], np.ndarray],
                          Dict[Tuple[int, int], Tuple[float, float]]]:
     """Batched UPEM refinement + no-phred MEC stats for every
@@ -205,6 +253,8 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     """
     from ..kernels.upem_batch import upem_optimize_device
 
+    if cache is None:
+        cache = BlockDeviceCache(blocks)
     groups: Dict[Tuple[int, int, int],
                  List[Tuple[int, BlockTensor]]] = {}
     for ploidy in range(1, options.max_ploidy + 1):
@@ -216,27 +266,18 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     # One device dispatch per shape group runs the whole <=20-iteration
     # hill-climb on device (no per-iteration host round trips); launch
     # every group async before pulling any result.
-    import jax
-
-    from ..kernels import beam as beam_kernel
-
     pending = []
     for (ploidy, r_pad, s_pad), members in groups.items():
         G = len(members)
-        alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
-        quals = np.zeros((G, r_pad, s_pad), dtype=np.uint8)
         assigns = np.zeros((G, r_pad), dtype=np.int32)
         nreads = np.zeros(G, dtype=np.int32)
         for g, (j, bt) in enumerate(members):
-            r, s = bt.alleles.shape
-            alleles[g, :r, :s] = bt.alleles
-            quals[g, :r, :s] = bt.quals
             nreads[g] = bt.num_reads
             if ploidy > 1:
                 assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        alleles = jax.device_put(alleles)
-        weights = beam_kernel.quals_to_weights(jax.device_put(quals))
+        alleles, weights = cache.gather(
+            (r_pad, s_pad), [j for j, _bt in members])
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
         pending.append((members, ploidy, best, mec))
@@ -253,8 +294,9 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
 
 
 def phase_instances(blocks: List[Tuple[int, BlockTensor]],
-                    options: Options,
-                    ploidies) -> Dict[Tuple[int, int], np.ndarray]:
+                    options: Options, ploidies,
+                    cache: Optional[BlockDeviceCache] = None
+                    ) -> Dict[Tuple[int, int], np.ndarray]:
     """Run the beam kernel for every (block, ploidy) instance, batched by
     (padded reads, padded sites) shape bucket with mixed ploidies in one
     dispatch (inactive parts masked — provably identical to per-ploidy
@@ -263,6 +305,8 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
     Returns {(block_index, ploidy): assignment[num_reads]}.
     """
     ploidies = list(ploidies)
+    if cache is None:
+        cache = BlockDeviceCache(blocks)
     groups: Dict[Tuple[int, int],
                  List[Tuple[int, int, BlockTensor]]] = {}
     for ploidy in ploidies:
@@ -273,30 +317,23 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
 
     # Launch every group's device call first (async), then pull results
     # and run tracebacks — avoids serializing on device-link latency.
-    # Quals ship as uint8 and become weights on device (bitwise equal to
-    # host weights via the shared table) — 2 bytes/cell over the link
-    # instead of 5.
-    import jax
-
+    # Block tensors come from the shared device cache (uploaded once,
+    # gathered per ploidy on device — the link moves each read once per
+    # contig group, not once per ploidy per stage).
     max_ploidy = max(ploidies) if ploidies else 1
     pending = []
     for (r_pad, s_pad), members in groups.items():
         G = len(members)
-        alleles = np.full((G, r_pad, s_pad), -1, dtype=np.int8)
-        quals = np.zeros((G, r_pad, s_pad), dtype=np.uint8)
         nreads = np.zeros(G, dtype=np.int32)
         nparts = np.ones(G, dtype=np.int32)
         max_span = 0
         for g, (ploidy, _j, bt) in enumerate(members):
-            r, s = bt.alleles.shape
-            alleles[g, :r, :s] = bt.alleles
-            quals[g, :r, :s] = bt.quals
             nreads[g] = bt.num_reads
             nparts[g] = ploidy
             max_span = max(max_span, bt.max_read_span())
         eps = np.full(G, options.epsilon, dtype=np.float32)
-        alleles = jax.device_put(alleles)
-        weights = beam_kernel.quals_to_weights(jax.device_put(quals))
+        alleles, weights = cache.gather(
+            (r_pad, s_pad), [j for _p, j, _bt in members])
         # Sliding compute window: columns behind the sorted-read frontier
         # are never read again, so per-step work scales with the max read
         # span instead of the block width. Coarsely bucketed to limit
