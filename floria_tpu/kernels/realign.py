@@ -9,6 +9,15 @@ needleman-wunsch problems — ideal device shape — so we collect every
 (read, SNP) job for a contig with vectorized window gathers and run
 chunked batched affine-gap NW (Gotoh) over all (job, allele) pairs.
 
+Transfer layout (the tunnel to a remote TPU is the bottleneck, not the
+NW compute): per job we ship only a 4-bit-packed 32bp query window
+(16 B) and an int32 SNP row (4 B); the reference windows, candidate
+allele codes, and allele counts are per-SNP tables uploaded once per
+flush and gathered on device (every read covering a SNP shares its
+row). The allele argmax also runs on device, so the download is one
+int8 call per job. Biallelic sites (almost all of them) run in their
+own partition with 2 NW problems per job instead of MAX_ALLELES.
+
 Deviation from the reference (documented design choice): exact NW
 instead of block-aligner's banded block approximation (the band covers
 the full 32x32 problem at block size 8 in most cases, so scores rarely
@@ -49,25 +58,55 @@ NEG = -1e9
 # per-dispatch latency on remote devices dwarfs the compute.
 CHUNK_JOBS = 32768
 
+# 4-bit sequence codes: the BAM nibble alphabet (every base a BAM or
+# FASTA can produce after .upper()) gets a distinct code, so comparing
+# codes is equivalent to comparing the raw bytes for all real inputs.
+# Unknown bytes collapse to 'N' (code 15) — they cannot arise from the
+# in-repo BAM decoder and are vanishingly rare in FASTA refs.
+_ALPHABET = b"=ACMGRSVTWYHKDBN"
+_ENC = np.full(256, 15, dtype=np.uint8)
+for _i, _b in enumerate(_ALPHABET):
+    _ENC[_b] = _i
 
-@jax.jit
-def _nw_scores_chunked(q3: jax.Array, r3: jax.Array,
-                       al3: jax.Array) -> jax.Array:
-    """One dispatch for the whole sweep: chunks [n, C, W] of read/ref
-    windows plus allele bytes [n, C, A]; allele variants are constructed
-    ON DEVICE (uploading pre-substituted windows would 4x the transfer).
-    Returns [n, C, A] scores."""
+
+def _pack4(codes: np.ndarray) -> np.ndarray:
+    """[n, W] 4-bit codes -> [n, W//2] packed bytes (even idx = low
+    nibble)."""
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_alleles_max",))
+def _nw_best_chunked(q3p: jax.Array, si3: jax.Array, ref_tab: jax.Array,
+                     al_tab: jax.Array, nal_tab: jax.Array,
+                     n_alleles_max: int) -> jax.Array:
+    """One dispatch for the whole sweep, transfer-lean: per job only a
+    4-bit-packed query window [C, W//2] and a SNP row index [C]; the
+    per-SNP reference windows / allele codes / allele counts live in
+    small tables gathered ON DEVICE (reads share SNP windows, so the
+    tables are ~100x smaller than per-job ref windows). Allele variants
+    are also built on device, and the argmax over alleles happens on
+    device so only an int8 call per job is downloaded.
+    Returns [n, C] int8 best-allele indices."""
+    A = n_alleles_max
+
     def one_chunk(args):
-        q, r, al = args                       # [C, W], [C, W], [C, A]
-        C, W = q.shape
-        A = al.shape[1]
+        qp, si = args                          # [C, W//2], [C]
+        C = qp.shape[0]
+        lo = qp & 0xF
+        hi = qp >> 4
+        q = jnp.stack([lo, hi], axis=-1).reshape(C, WINDOW)
+        r = ref_tab[si]                        # [C, W]
+        al = al_tab[si, :A]                    # [C, A]
+        nal = nal_tab[si]                      # [C]
         var = jnp.repeat(r[:, None, :], A, axis=1)
         var = var.at[:, :, FLANK].set(al)
         qq = jnp.repeat(q[:, None, :], A, axis=1)
-        return _nw_scores(qq.reshape(C * A, W),
-                          var.reshape(C * A, W)).reshape(C, A)
+        sc = _nw_scores(qq.reshape(C * A, WINDOW),
+                        var.reshape(C * A, WINDOW)).reshape(C, A)
+        sc = jnp.where(jnp.arange(A)[None, :] < nal[:, None], sc, NEG)
+        return jnp.argmax(sc, axis=1).astype(jnp.int8)
 
-    return jax.lax.map(one_chunk, (q3, r3, al3))
+    return jax.lax.map(one_chunk, (q3p, si3))
 
 
 @jax.jit
@@ -116,16 +155,21 @@ _OFFSETS = np.arange(-FLANK, FLANK)
 
 
 class RealignPool:
-    """Contig-agnostic job pool: windows + per-job allele candidates.
-    Shared across contigs so a whole contig group realigns in one
-    device dispatch."""
+    """Contig-agnostic job pool: packed query windows + SNP row indices
+    into concatenated per-contig SNP tables (ref window / allele codes /
+    allele counts). Shared across contigs so a whole contig group
+    realigns in one device dispatch."""
 
     def __init__(self):
-        self._q: List[np.ndarray] = []
-        self._r: List[np.ndarray] = []
-        self._al: List[np.ndarray] = []
+        self._q: List[np.ndarray] = []      # [n, W//2] packed query codes
+        self._si: List[np.ndarray] = []     # [n] int32 global SNP rows
         self._nal: List[np.ndarray] = []
         self._targets: List = []  # (frag, snp_pos array per batch)
+        self._tab_r: List[np.ndarray] = []   # per-contig [n_snp, W] codes
+        self._tab_al: List[np.ndarray] = []  # per-contig [n_snp, A] codes
+        self._tab_nal: List[np.ndarray] = []
+        self._tab_rows: int = 0
+        self._gen: int = 0  # bumped by flush; invalidates registrations
 
 
 class SnpRealigner:
@@ -140,6 +184,26 @@ class SnpRealigner:
         self.allele_mat = contig_vcf.allele_matrix()       # [n_snp, A]
         self.n_alleles = (self.allele_mat > 0).sum(axis=1)
         self.pool = pool if pool is not None else RealignPool()
+        self._tab_base = None  # row offset of this contig's SNP tables
+        self._tab_gen = -1
+
+    def _ensure_tables(self) -> int:
+        """Register this contig's per-SNP tables in the pool (once per
+        pool generation — a flush clears the tables)."""
+        if self._tab_base is None or self._tab_gen != self.pool._gen:
+            self._tab_gen = self.pool._gen
+            pool = self.pool
+            self._tab_base = pool._tab_rows
+            gn = self.cv.genome_pos.astype(np.int64)
+            # Out-of-bounds windows are filtered per job; clamp so the
+            # (unused) table rows still gather safely.
+            idx = np.clip(gn[:, None] + _OFFSETS, 0,
+                          max(0, len(self.ref) - 1))
+            pool._tab_r.append(_ENC[self.ref[idx]])
+            pool._tab_al.append(_ENC[self.allele_mat])
+            pool._tab_nal.append(self.n_alleles.astype(np.int32))
+            pool._tab_rows += len(gn)
+        return self._tab_base
 
     def realign(self, frag: Frag) -> None:
         """Queue one fragment (pure-Python ingest path: sites still live
@@ -164,12 +228,11 @@ class SnpRealigner:
               & (qpos >= FLANK) & (qpos + FLANK < len(seq)))
         if not ok.any():
             return
-        gn = gn[ok]
+        base = self._ensure_tables()
         qp = qpos[ok]
         pool = self.pool
-        pool._q.append(seq[qp[:, None] + _OFFSETS])
-        pool._r.append(self.ref[gn[:, None] + _OFFSETS])
-        pool._al.append(self.allele_mat[snp_idx[ok]])
+        pool._q.append(_pack4(_ENC[seq[qp[:, None] + _OFFSETS]]))
+        pool._si.append((base + snp_idx[ok]).astype(np.int32))
         pool._nal.append(self.n_alleles[snp_idx[ok]])
         pool._targets.append((frag, snp_counters[ok]))
 
@@ -179,15 +242,11 @@ class SnpRealigner:
         flush_pool(self.pool)
 
 
-def flush_pool(pool: RealignPool) -> None:
-    if not pool._targets:
-        return
-    q = np.concatenate(pool._q)
-    r = np.concatenate(pool._r)
-    al = np.concatenate(pool._al)
-    nal = np.concatenate(pool._nal)
+def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
+                   al_tab: jax.Array, nal_tab: jax.Array,
+                   n_alleles_max: int) -> np.ndarray:
+    """Pad one job partition into bucketed chunk shapes and run it."""
     N = len(q)
-    A = al.shape[1]
     n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
     # Bucket the chunk count (multiples of 8, power-of-two for small)
     # so few shapes compile while bounding padding waste.
@@ -197,19 +256,50 @@ def flush_pool(pool: RealignPool) -> None:
         n_pad = ((n_chunks + 7) // 8) * 8
     n_pad = max(n_pad, 1)
     total = n_pad * CHUNK_JOBS
-    q_all = np.zeros((total, WINDOW), np.uint8)
-    r_all = np.zeros((total, WINDOW), np.uint8)
-    al_all = np.zeros((total, A), np.uint8)
+    q_all = np.zeros((total, WINDOW // 2), np.uint8)
+    si_all = np.zeros(total, np.int32)
     q_all[:N] = q
-    r_all[:N] = r
-    al_all[:N] = al
-    scores = np.array(_nw_scores_chunked(
-        jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
-        jnp.asarray(r_all.reshape(n_pad, CHUNK_JOBS, WINDOW)),
-        jnp.asarray(al_all.reshape(n_pad, CHUNK_JOBS, A)))
-    ).reshape(total, A)[:N]
-    scores[np.arange(A)[None, :] >= nal[:, None]] = -np.inf
-    best = scores.argmax(axis=1).astype(np.int8)
+    si_all[:N] = si
+    return np.asarray(_nw_best_chunked(
+        jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW // 2)),
+        jnp.asarray(si_all.reshape(n_pad, CHUNK_JOBS)),
+        ref_tab, al_tab, nal_tab, n_alleles_max)).reshape(total)[:N]
+
+
+def flush_pool(pool: RealignPool) -> None:
+    if not pool._targets:
+        return
+    q = np.concatenate(pool._q)
+    si = np.concatenate(pool._si)
+    nal = np.concatenate(pool._nal)
+    N = len(q)
+    ref_tab = np.concatenate(pool._tab_r)
+    al_tab = np.concatenate(pool._tab_al)
+    nal_tab = np.concatenate(pool._tab_nal)
+    A = al_tab.shape[1]
+    T = len(ref_tab)
+    # Bucket table rows (pow2, >=4k) so few shapes compile.
+    T_pad = max(4096, 1 << max(0, (T - 1)).bit_length())
+    ref_tab = np.pad(ref_tab, ((0, T_pad - T), (0, 0)))
+    al_tab = np.pad(al_tab, ((0, T_pad - T), (0, 0)))
+    nal_tab = np.pad(nal_tab, (0, T_pad - T))
+    ref_d = jnp.asarray(ref_tab)
+    al_d = jnp.asarray(al_tab)
+    nal_d = jnp.asarray(nal_tab)
+
+    # Biallelic sites (the vast majority) only need 2 NW problems per
+    # job; run them as their own partition at half the compute.
+    best = np.empty(N, np.int8)
+    bi = nal <= 2
+    for sel, a_max in ((bi, min(2, A)), (~bi, A)):
+        idx = np.nonzero(sel)[0]
+        if len(idx) == 0:
+            continue
+        if len(idx) == N:
+            best = _dispatch_jobs(q, si, ref_d, al_d, nal_d, a_max)
+            break
+        best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
+                                   nal_d, a_max)
 
     off = 0
     for frag, snp_pos in pool._targets:
@@ -219,7 +309,11 @@ def flush_pool(pool: RealignPool) -> None:
             zip((int(p) for p in snp_pos),
                 (int(b) for b in calls)))
     pool._q.clear()
-    pool._r.clear()
-    pool._al.clear()
+    pool._si.clear()
     pool._nal.clear()
     pool._targets.clear()
+    pool._tab_r.clear()
+    pool._tab_al.clear()
+    pool._tab_nal.clear()
+    pool._tab_rows = 0
+    pool._gen += 1

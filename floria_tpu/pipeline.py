@@ -147,7 +147,9 @@ def _run_group(group: List[str], main_bam, short_bam,
                                         realign_pool=pool)
         collected.append((contig, contig_out_dir, cv, ref_seq, id_map))
     if pool is not None:
+        flush_t = time.time()
         flush_pool(pool)
+        timing.add("realign_dispatch", time.time() - flush_t)
 
     states: List[_ContigState] = []
     for contig, contig_out_dir, cv, ref_seq, id_map in collected:
