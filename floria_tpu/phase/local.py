@@ -207,6 +207,7 @@ class BlockDeviceCache:
     def __init__(self, blocks: List[Tuple[int, BlockTensor]]):
         import jax
 
+        up_t = time.time()
         buckets: Dict[Tuple[int, int],
                       List[Tuple[int, BlockTensor]]] = {}
         for j, bt in blocks:
@@ -227,6 +228,7 @@ class BlockDeviceCache:
             dev_a = jax.device_put(alleles)
             dev_w = beam_kernel.quals_to_weights(jax.device_put(quals))
             self.dev[(r_pad, s_pad)] = (dev_a, dev_w)
+        timing.add("beam.cache_upload", time.time() - up_t)
 
     def gather(self, key: Tuple[int, int], block_ids: List[object]):
         """Device-side [G, r_pad, s_pad] (alleles, weights) for the
@@ -345,11 +347,16 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         pending.append((members, result))
 
     out: Dict[Tuple[int, int], np.ndarray] = {}
-    for members, result in pending:
-        host = tuple(np.asarray(a) for a in result)
+    pull_t = time.time()
+    hosts = [tuple(np.asarray(a) for a in result)
+             for _m, result in pending]
+    timing.add("beam.pull", time.time() - pull_t)
+    tb_t = time.time()
+    for (members, _result), host in zip(pending, hosts):
         for g, (ploidy, j, bt) in enumerate(members):
             out[(j, ploidy)] = beam_kernel.traceback(
                 tuple(a[g] for a in host), bt.num_reads, ploidy)
+    timing.add("beam.traceback", time.time() - tb_t)
     return out
 
 

@@ -142,9 +142,11 @@ def _run_group(group: List[str], main_bam, short_bam,
             if options.overwrite:
                 shutil.rmtree(contig_out_dir, ignore_errors=True)
         log.info("Reading and realigning inputs for contig %s.", contig)
+        col_t = time.time()
         id_map = collect_contig_records(main_bam, short_bam, cv, options,
                                         ref_seq, contig,
                                         realign_pool=pool)
+        timing.add("ingest.collect", time.time() - col_t)
         collected.append((contig, contig_out_dir, cv, ref_seq, id_map))
     if pool is not None:
         flush_t = time.time()
@@ -152,6 +154,7 @@ def _run_group(group: List[str], main_bam, short_bam,
         timing.add("realign_dispatch", time.time() - flush_t)
 
     states: List[_ContigState] = []
+    fin_t = time.time()
     for contig, contig_out_dir, cv, ref_seq, id_map in collected:
         all_frags, frags_without_snps = finalize_frags(id_map, cv,
                                                        options)
@@ -185,6 +188,7 @@ def _run_group(group: List[str], main_bam, short_bam,
             short_frags=short_frags, debug_dir=debug_dir))
     if not states:
         return
+    timing.add("ingest.finalize", time.time() - fin_t)
     log.info("Reading inputs, realigning time taken %.2fs",
              time.time() - t0)
     timing.add("ingest_realign", time.time() - t0)
@@ -220,6 +224,7 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
 
     # Hap-graph: one column per phased block, one node per part
     # (graph_processing.rs:276-304, 306-323).
+    graph_t = time.time()
     hap_graph: List[List[HapNode]] = []
     for res in results:
         column = len(hap_graph)
@@ -231,12 +236,16 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
         hap_graph.append(block_nodes)
     assign_ids(hap_graph)
     update_hap_graph(hap_graph, final_frags)
+    timing.add("join.hap_graph", time.time() - graph_t)
 
     lp_t = time.time()
     flow_vec = solve_lp_graph(hap_graph)
     log.info("Flow solved in time %.2fs", time.time() - lp_t)
+    timing.add("join.lp", time.time() - lp_t)
 
+    paths_t = time.time()
     haplogroups = get_disjoint_paths(hap_graph, flow_vec)
+    timing.add("join.paths", time.time() - paths_t)
     if log.isEnabledFor(logging.DEBUG):
         from .graph.paths import write_pet_graph_dot
         write_pet_graph_dot(hap_graph,
@@ -253,12 +262,16 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
         f.counter_id = len(combined)
         combined.append(f)
 
+    final_t = time.time()
     parts, ranges = process_reads_for_final_parts(
         haplogroups, combined, st.short_frags, options)
 
     snpless = frags_in_snpless_gaps(ranges, snp_to_genome_pos,
                                     st.frags_without_snps,
                                     options.block_length, final_frags)
+    timing.add("join.final_parts", time.time() - final_t)
 
+    write_t = time.time()
     write_outputs(parts, ranges, st.out_dir, contig, combined,
                   snp_to_genome_pos, options, snpless, contig_len)
+    timing.add("join.write", time.time() - write_t)
