@@ -41,39 +41,98 @@ def _read_node_diff(frag: Frag, node: HapNode) -> int:
 
 
 def update_hap_graph(hap_graph: List[List[HapNode]],
-                     frags: Sequence[Frag]) -> None:
-    """Attach out/in edges between adjacent blocks in place."""
+                     frags: Sequence[Frag],
+                     csr: "FragCsr" = None) -> None:
+    """Attach out/in edges between adjacent blocks in place.
+
+    With a FragCsr the per-(read, node2) diffs of a block pair are
+    computed in one vectorized pass (gather all shared reads' sites
+    once, per-read segment sums via bincount); without one, the scalar
+    per-read walk runs. Both orders additions identically (ascending
+    SNP per read), matching dist_rounded's sequential sum."""
     for i in range(len(hap_graph) - 1):
         block1 = hap_graph[i]
         block2 = hap_graph[i + 1]
-        membership = {}
-        for l, node2 in enumerate(block2):
-            for fid in node2.frag_ids:
-                membership[int(fid)] = l
-        # Cache read-vs-node2 diffs: reads shared across block1 nodes.
-        diff_cache = {}
-        for node1 in block1:
-            out_weights = np.zeros(len(block2))
-            for fid in node1.frag_ids:
-                fid = int(fid)
-                if fid not in diff_cache:
-                    frag = frags[fid]
-                    diff_cache[fid] = [
-                        _read_node_diff(frag, node2) for node2 in block2]
-                diffs = diff_cache[fid]
-                hap_id_in = membership.get(fid)
-                if len(diffs) > 1:
-                    top2 = sorted(diffs)[:2]
-                    if top2[0] != top2[1]:
-                        if hap_id_in is not None:
-                            out_weights[hap_id_in] += 1.0
-                else:
-                    if hap_id_in is not None:
-                        out_weights[hap_id_in] += 1.0
-            for l in range(len(block2)):
-                if out_weights[l] >= constants.MIN_SHARED_READS_UNAMBIG:
-                    node1.out_edges.append((l, float(out_weights[l])))
+        if csr is not None:
+            _link_blocks_vectorized(block1, block2, csr)
+        else:
+            _link_blocks_scalar(block1, block2, frags)
         # Mirror in_edges on the receiving side
         for j, node1 in enumerate(block1):
             for (l, w) in node1.out_edges:
                 block2[l].in_edges.append((j, w))
+
+
+def _link_blocks_vectorized(block1: List[HapNode],
+                            block2: List[HapNode], csr) -> None:
+    n2 = len(block2)
+    fids = np.unique(np.concatenate(
+        [n.frag_ids for n in block1])) if block1 else np.zeros(0,
+                                                               np.int64)
+    if len(fids) == 0:
+        return
+    lo, hi = block2[0].snp_endpoints
+    snps, alleles, weights, ridx = csr.gather(fids)
+    sel = (snps >= lo) & (snps <= hi)
+    cols = snps[sel] - lo
+    al = alleles[sel]
+    w = weights[sel]
+    ridx = ridx[sel]
+    diffs = np.zeros((len(fids), n2), dtype=np.int64)
+    for l, node2 in enumerate(block2):
+        has_key = node2.exist[cols].sum(axis=-1) > 0
+        at = node2.counts[cols, al]
+        at_exists = node2.exist[cols, al] > 0
+        maxc = node2.counts[cols].max(axis=-1)
+        dm = has_key & ~(at_exists & (at == maxc))
+        contrib = np.where(dm, w.astype(np.float64), 0.0)
+        sums = np.bincount(ridx, weights=contrib, minlength=len(fids))
+        diffs[:, l] = np.round(sums).astype(np.int64)
+    if n2 > 1:
+        top2 = np.partition(diffs, 1, axis=1)[:, :2]
+        unambig = top2[:, 0] != top2[:, 1]
+    else:
+        unambig = np.ones(len(fids), dtype=bool)
+    mem = np.full(len(fids), -1, dtype=np.int64)
+    for l, node2 in enumerate(block2):
+        mem[np.isin(fids, node2.frag_ids)] = l
+    votes = unambig & (mem >= 0)
+    for node1 in block1:
+        rows = np.searchsorted(fids, node1.frag_ids)
+        v = votes[rows]
+        out_weights = np.bincount(mem[rows[v]], minlength=n2).astype(
+            np.float64)
+        for l in range(n2):
+            if out_weights[l] >= constants.MIN_SHARED_READS_UNAMBIG:
+                node1.out_edges.append((l, float(out_weights[l])))
+
+
+def _link_blocks_scalar(block1: List[HapNode], block2: List[HapNode],
+                        frags: Sequence[Frag]) -> None:
+    membership = {}
+    for l, node2 in enumerate(block2):
+        for fid in node2.frag_ids:
+            membership[int(fid)] = l
+    # Cache read-vs-node2 diffs: reads shared across block1 nodes.
+    diff_cache = {}
+    for node1 in block1:
+        out_weights = np.zeros(len(block2))
+        for fid in node1.frag_ids:
+            fid = int(fid)
+            if fid not in diff_cache:
+                frag = frags[fid]
+                diff_cache[fid] = [
+                    _read_node_diff(frag, node2) for node2 in block2]
+            diffs = diff_cache[fid]
+            hap_id_in = membership.get(fid)
+            if len(diffs) > 1:
+                top2 = sorted(diffs)[:2]
+                if top2[0] != top2[1]:
+                    if hap_id_in is not None:
+                        out_weights[hap_id_in] += 1.0
+            else:
+                if hap_id_in is not None:
+                    out_weights[hap_id_in] += 1.0
+        for l in range(len(block2)):
+            if out_weights[l] >= constants.MIN_SHARED_READS_UNAMBIG:
+                node1.out_edges.append((l, float(out_weights[l])))

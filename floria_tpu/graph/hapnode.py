@@ -41,9 +41,48 @@ class HapNode:
         return set(int(i) for i in self.frag_ids)
 
 
+class FragCsr:
+    """Concatenated (snps, alleles, weights) arrays over a frag list
+    (indexed by counter id), enabling loop-free multi-frag gathers for
+    the hap-graph join. Semantically equivalent to iterating the frags:
+    gathered entries come back in (frag order, ascending SNP) order, so
+    sequential accumulations see the same addition sequence."""
+
+    def __init__(self, frags: Sequence[Frag]):
+        n = len(frags)
+        self.off = np.zeros(n + 1, dtype=np.int64)
+        for i, f in enumerate(frags):
+            self.off[i + 1] = self.off[i] + len(f.snps)
+        if n:
+            self.snps = np.concatenate([f.snps for f in frags])
+            self.alleles = np.concatenate(
+                [f.alleles for f in frags]).astype(np.int64)
+            self.weights = np.concatenate([f.weights for f in frags])
+        else:
+            self.snps = np.zeros(0, np.int64)
+            self.alleles = np.zeros(0, np.int64)
+            self.weights = np.zeros(0, np.float32)
+
+    def gather(self, fids: np.ndarray):
+        """(snps, alleles, weights, frag_row) of every site of the given
+        frags, concatenated in frag order."""
+        fids = np.asarray(fids, dtype=np.int64)
+        lens = self.off[fids + 1] - self.off[fids]
+        total = int(lens.sum())
+        ridx = np.repeat(np.arange(len(fids)), lens)
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.float32), ridx
+        shift = self.off[fids] - np.concatenate(
+            ([0], np.cumsum(lens)[:-1]))
+        idx = np.arange(total) + np.repeat(shift, lens)
+        return (self.snps[idx], self.alleles[idx], self.weights[idx],
+                ridx)
+
+
 def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
                    snp_endpoints: Tuple[int, int], column: int,
-                   row: int) -> HapNode:
+                   row: int, csr: FragCsr = None) -> HapNode:
     """HapNode::new (types_structs.rs:168-209): phred-weighted allele
     counts restricted to the SNP interval; coverage = the 2/3-quantile of
     the flattened per-(site, allele) count list."""
@@ -52,12 +91,21 @@ def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
     A = constants.MAX_ALLELES
     counts = np.zeros((S, A), dtype=np.float64)
     exist = np.zeros((S, A), dtype=np.int32)
-    for fid in frag_ids:
-        f = frags[int(fid)]
-        sel = (f.snps >= lo) & (f.snps <= hi)
-        cols = f.snps[sel] - lo
-        np.add.at(counts, (cols, f.alleles[sel]), f.weights[sel])
-        np.add.at(exist, (cols, f.alleles[sel]), 1)
+    if csr is not None:
+        snps, alleles, weights, _r = csr.gather(frag_ids)
+        sel = (snps >= lo) & (snps <= hi)
+        cols = snps[sel] - lo
+        # np.add.at applies additions in element order = (frag order,
+        # ascending SNP) — the same sequence as the per-frag loop below.
+        np.add.at(counts, (cols, alleles[sel]), weights[sel])
+        np.add.at(exist, (cols, alleles[sel]), 1)
+    else:
+        for fid in frag_ids:
+            f = frags[int(fid)]
+            sel = (f.snps >= lo) & (f.snps <= hi)
+            cols = f.snps[sel] - lo
+            np.add.at(counts, (cols, f.alleles[sel]), f.weights[sel])
+            np.add.at(exist, (cols, f.alleles[sel]), 1)
     vals = counts[exist > 0]
     if vals.size == 0:
         cov = 0.0

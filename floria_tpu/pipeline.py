@@ -27,7 +27,8 @@ from . import fragops, timing
 from .frag import Frag, sort_and_renumber
 from .graph.edges import update_hap_graph
 from .graph.flow import solve_lp_graph
-from .graph.hapnode import HapNode, assign_ids, build_hap_node
+from .graph.hapnode import (FragCsr, HapNode, assign_ids,
+                            build_hap_node)
 from .graph.paths import get_disjoint_paths
 from .ingest import bam as bamlib
 from .ingest.fasta import FastaFile
@@ -225,17 +226,18 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
     # Hap-graph: one column per phased block, one node per part
     # (graph_processing.rs:276-304, 306-323).
     graph_t = time.time()
+    csr = FragCsr(final_frags)
     hap_graph: List[List[HapNode]] = []
     for res in results:
         column = len(hap_graph)
         block_nodes = []
         for row, ids in enumerate(res.part_frag_ids):
             node = build_hap_node(final_frags, ids, res.snp_range,
-                                  column, row)
+                                  column, row, csr=csr)
             block_nodes.append(node)
         hap_graph.append(block_nodes)
     assign_ids(hap_graph)
-    update_hap_graph(hap_graph, final_frags)
+    update_hap_graph(hap_graph, final_frags, csr=csr)
     timing.add("join.hap_graph", time.time() - graph_t)
 
     lp_t = time.time()
