@@ -20,31 +20,47 @@ SNP_MAX = np.iinfo(np.uint32).max
 
 
 class Frag:
+    """Site profiles live in ONE of two representations:
+
+    - dict mode (`_seq_dict` et al. are dicts): the mutable ingest form,
+      used by the pure-Python BAM path, pair/supplementary merging, and
+      the legacy frags.txt reader.
+    - array mode (`_arr_*` are sorted numpy arrays, dicts are None): the
+      native fast-ingest form — most reads never need per-site Python
+      dicts (building them used to dominate ingest wall time), so the
+      `seq_dict`/`qual_dict`/`snp_pos_to_seq_pos` properties materialize
+      dicts lazily on first access and the arrays become stale.
+    """
+
     __slots__ = (
         "id",
         "counter_id",
-        "seq_dict",
-        "qual_dict",
+        "_seq_dict",
+        "_qual_dict",
         "first_position",
         "last_position",
         "seq_string",
         "qual_string",
         "is_paired",
-        "snp_pos_to_seq_pos",
+        "_sp2sp",
         "first_pos_base",
         "last_pos_base",
         "snps",
         "alleles",
         "quals",
         "weights",
+        "_arr_snps",
+        "_arr_alleles",
+        "_arr_quals",
+        "_arr_qpos",
     )
 
     def __init__(self, read_id: str, counter_id: int, is_paired: bool):
         self.id = read_id
         self.counter_id = counter_id
         # Sparse SNP profile, mutable during ingest (types_structs.rs:72-76).
-        self.seq_dict: Dict[int, int] = {}
-        self.qual_dict: Dict[int, int] = {}
+        self._seq_dict: Optional[Dict[int, int]] = {}
+        self._qual_dict: Optional[Dict[int, int]] = {}
         self.first_position = SNP_MAX  # 1-indexed SNP counter
         self.last_position = 0
         # Raw read payloads; index 0/1 = first/second of pair
@@ -54,7 +70,7 @@ class Frag:
         self.is_paired = is_paired
         # SNP position -> (pair index, position in read sequence)
         # (types_structs.rs:80).
-        self.snp_pos_to_seq_pos: Dict[int, Tuple[int, int]] = {}
+        self._sp2sp: Optional[Dict[int, Tuple[int, int]]] = {}
         self.first_pos_base = np.iinfo(np.int64).max
         self.last_pos_base = np.iinfo(np.int64).max
         # Frozen arrays (built by freeze()).
@@ -62,6 +78,81 @@ class Frag:
         self.alleles: Optional[np.ndarray] = None
         self.quals: Optional[np.ndarray] = None
         self.weights: Optional[np.ndarray] = None
+        # Array-mode site profile (set by set_site_arrays).
+        self._arr_snps: Optional[np.ndarray] = None
+        self._arr_alleles: Optional[np.ndarray] = None
+        self._arr_quals: Optional[np.ndarray] = None
+        self._arr_qpos: Optional[np.ndarray] = None
+
+    def set_site_arrays(self, snps: np.ndarray, alleles: np.ndarray,
+                        quals: np.ndarray, qpos: np.ndarray) -> None:
+        """Enter array mode: sorted per-site arrays (ascending 1-based
+        SNP counters), pair index implicitly 0."""
+        self._seq_dict = None
+        self._qual_dict = None
+        self._sp2sp = None
+        self._arr_snps = snps
+        self._arr_alleles = alleles
+        self._arr_quals = quals
+        self._arr_qpos = qpos
+        if len(snps):
+            self.first_position = int(snps[0])
+            self.last_position = int(snps[-1])
+
+    def _materialize(self) -> None:
+        snps = self._arr_snps.tolist()
+        if self._seq_dict is None:
+            self._seq_dict = dict(zip(snps, self._arr_alleles.tolist()))
+        if self._qual_dict is None:
+            self._qual_dict = dict(zip(snps, self._arr_quals.tolist()))
+        if self._sp2sp is None:
+            self._sp2sp = {p: (0, q) for p, q in
+                           zip(snps, self._arr_qpos.tolist())}
+        self._arr_snps = None
+        self._arr_alleles = None
+        self._arr_quals = None
+        self._arr_qpos = None
+
+    @property
+    def seq_dict(self) -> Dict[int, int]:
+        if self._seq_dict is None:
+            self._materialize()
+        return self._seq_dict
+
+    @seq_dict.setter
+    def seq_dict(self, d: Dict[int, int]) -> None:
+        self._seq_dict = d
+
+    @property
+    def qual_dict(self) -> Dict[int, int]:
+        if self._qual_dict is None:
+            self._materialize()
+        return self._qual_dict
+
+    @qual_dict.setter
+    def qual_dict(self, d: Dict[int, int]) -> None:
+        self._qual_dict = d
+
+    @property
+    def snp_pos_to_seq_pos(self) -> Dict[int, Tuple[int, int]]:
+        if self._sp2sp is None:
+            self._materialize()
+        return self._sp2sp
+
+    @snp_pos_to_seq_pos.setter
+    def snp_pos_to_seq_pos(self, d: Dict[int, Tuple[int, int]]) -> None:
+        self._sp2sp = d
+
+    def set_calls(self, snp_pos: np.ndarray, calls: np.ndarray) -> None:
+        """Overwrite allele calls at the given (existing) SNP counters —
+        the realignment write-back — without forcing dict mode."""
+        if self._seq_dict is not None:
+            self._seq_dict.update(
+                zip((int(p) for p in snp_pos),
+                    (int(b) for b in calls)))
+        else:
+            idx = np.searchsorted(self._arr_snps, snp_pos)
+            self._arr_alleles[idx] = calls
 
     # Ordering: (self.first, other.last, self.counter) vs
     # (other.first, self.last, other.counter) — start ascending, end
@@ -80,7 +171,16 @@ class Frag:
             self.last_position = snp_pos
 
     def freeze(self, use_qual_weights: bool = True) -> None:
-        """Convert the sparse dicts to sorted arrays for tensor packing."""
+        """Convert the sparse site profile to sorted arrays for tensor
+        packing."""
+        if self._seq_dict is None:
+            # Array mode: already sorted ascending (native extraction
+            # walks alignment columns in genome order).
+            self.snps = self._arr_snps.astype(np.int64, copy=False)
+            self.alleles = self._arr_alleles.astype(np.int8)
+            self.quals = self._arr_quals
+            self.weights = phred_weight(self.quals, use_qual_weights)
+            return
         if not self.seq_dict:
             self.snps = np.empty(0, dtype=np.int64)
             self.alleles = np.empty(0, dtype=np.int8)
@@ -101,10 +201,12 @@ class Frag:
 
     @property
     def num_sites(self) -> int:
-        return len(self.seq_dict)
+        if self._seq_dict is None:
+            return len(self._arr_snps)
+        return len(self._seq_dict)
 
     def __repr__(self) -> str:
-        return (f"Frag({self.id!r}, n={len(self.seq_dict)}, "
+        return (f"Frag({self.id!r}, n={self.num_sites}, "
                 f"span={self.first_position}-{self.last_position})")
 
 

@@ -10,7 +10,6 @@ reference implementation and the fallback.
 from __future__ import annotations
 
 import ctypes
-import itertools
 import struct
 from typing import Dict, List, Tuple
 
@@ -220,7 +219,6 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
                    (int(boundaries[k]), int(boundaries[k + 1]))
                    for k in range(len(boundaries) - 1)}
     seq_buf, qual_buf, pay_offs = fb.payloads_batch(sel)
-    qpos_all = out_qpos.tolist()
     for local_idx in range(n_rec):
         gi = int(sel[local_idx])
         flag = int(fb.flag[gi])
@@ -236,15 +234,11 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
         if lo_hi is not None:
             lo, hi = lo_hi
             snps = out_snp[lo:hi].astype(np.int64) + 1
-            snp_list = snps.tolist()
-            frag.seq_dict = dict(zip(snp_list,
-                                     out_allele[lo:hi].tolist()))
-            frag.qual_dict = dict(zip(snp_list,
-                                      out_qual[lo:hi].tolist()))
-            frag.snp_pos_to_seq_pos = dict(zip(
-                snp_list, zip(itertools.repeat(0), qpos_all[lo:hi])))
-            frag.first_position = int(snps[0])
-            frag.last_position = int(snps[-1])
+            # Array mode: site dicts are materialized lazily only for
+            # the (rare) reads whose merge paths need them.
+            frag.set_site_arrays(snps, out_allele[lo:hi].copy(),
+                                 out_qual[lo:hi].copy(),
+                                 out_qpos[lo:hi].copy())
             if realigner is not None:
                 realigner.add_jobs(
                     frag, snps, out_qpos[lo:hi].astype(np.int64),

@@ -126,7 +126,7 @@ def combine_frags(id_to_frags: Dict[str, List[Tuple[int, Frag]]],
         else:
             supp_intervals = sorted(
                 (f.first_position, f.last_position)
-                for _fl, f in frags if f.seq_dict)
+                for _fl, f in frags if f.num_sites)
             take_primary_only = False
             for i in range(len(supp_intervals) - 1):
                 gap = (contig_vcf.snp_to_gn(supp_intervals[i + 1][0])
@@ -239,6 +239,6 @@ def finalize_frags(id_to_frags: Dict[str, List[Tuple[int, Frag]]],
     """Pair/supplementary merging + SNP split; realignment writes must
     have landed first."""
     ref_frags = combine_frags(id_to_frags, contig_vcf, options)
-    with_snps = [f for f in ref_frags if f.seq_dict]
-    without_snps = [f for f in ref_frags if not f.seq_dict]
+    with_snps = [f for f in ref_frags if f.num_sites]
+    without_snps = [f for f in ref_frags if not f.num_sites]
     return with_snps, without_snps

@@ -447,6 +447,7 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
     A = max_alleles
     B1 = ploidy * beam_width
     W = beam_width
+    rec_dt = jnp.int8 if B1 <= 127 else jnp.int16
     if window <= 0 or window > S:
         window = S
     eps = epsilon.astype(jnp.float32)
@@ -483,7 +484,10 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
                 wa, z1, z2, num_reads, eps, width=width, ploidy=P,
                 out_slots=out_slots, window=window, g1=g1, g2=g2,
                 part_active=part_active, dedup=dedup)
-            return (hist, score, live), (parent, part)
+            # int8 traceback records: parent < B1 <= 127, part < P —
+            # quarters the result download vs int32.
+            return ((hist, score, live),
+                    (parent.astype(rec_dt), part.astype(rec_dt)))
         return step_fn
 
     ts = jnp.arange(R, dtype=jnp.int32)
@@ -493,7 +497,7 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
          weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
-        empty = jnp.zeros((0, W), dtype=jnp.int32)
+        empty = jnp.zeros((0, W), dtype=rec_dt)
         return (warm_parents, warm_parts, empty, empty, score, live)
 
     hist, score, live, tr_parent, tr_part = _step_hist(
@@ -501,6 +505,8 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
         covered_all[T1], weights[T1], oh_all[T1], wa, z1, z2,
         num_reads, eps, width=W, ploidy=P, out_slots=W, window=window,
         g1=g1, g2=g2, part_active=part_active, dedup=dedup)
+    tr_parent = tr_parent.astype(rec_dt)
+    tr_part = tr_part.astype(rec_dt)
 
     (hist, score, live), (m_parents, m_parts) = jax.lax.scan(
         make_step(W, W), (hist, score, live),
@@ -522,6 +528,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     A = max_alleles
     B1 = ploidy * beam_width
     W = beam_width
+    rec_dt = jnp.int8 if B1 <= 127 else jnp.int16
     if window <= 0 or window > S:
         window = S
     eps = epsilon.astype(jnp.float32)
@@ -555,7 +562,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
             eps, width=warm_width, ploidy=P, out_slots=B1,
             window=window, part_active=part_active, start_t=st_t,
             hash_consts=hc)
-        return (counts, score, live), (parent, part)
+        return ((counts, score, live),
+                (parent.astype(rec_dt), part.astype(rec_dt)))
 
     ts = jnp.arange(R, dtype=jnp.int32)
     (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
@@ -564,7 +572,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
          weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
-        empty = jnp.zeros((0, W), dtype=jnp.int32)
+        empty = jnp.zeros((0, W), dtype=rec_dt)
         return (warm_parents, warm_parts, empty, empty, score, live)
 
     # Transition step (read index T1): full B1 parent space, width W.
@@ -573,6 +581,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
         weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
         out_slots=W, window=window, part_active=part_active,
         start_t=starts[T1], hash_consts=hc)
+    tr_parent = tr_parent.astype(rec_dt)
+    tr_part = tr_part.astype(rec_dt)
 
     def main_step(state, xs):
         counts, score, live = state
@@ -581,7 +591,8 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
             counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
             eps, width=W, ploidy=P, out_slots=W, window=window,
             part_active=part_active, start_t=st_t, hash_consts=hc)
-        return (counts, score, live), (parent, part)
+        return ((counts, score, live),
+                (parent.astype(rec_dt), part.astype(rec_dt)))
 
     (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
         main_step, (counts, score, live),

@@ -305,9 +305,7 @@ def flush_pool(pool: RealignPool) -> None:
     for frag, snp_pos in pool._targets:
         calls = best[off:off + len(snp_pos)]
         off += len(snp_pos)
-        frag.seq_dict.update(
-            zip((int(p) for p in snp_pos),
-                (int(b) for b in calls)))
+        frag.set_calls(snp_pos, calls)
     pool._q.clear()
     pool._si.clear()
     pool._nal.clear()

@@ -124,11 +124,15 @@ def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
                          main_parts, scores, live):
         """Device twin of beam.traceback for one instance: walk the
         parent chain of the best final slot with two scans."""
-        best = jnp.argmin(jnp.where(live, scores, jnp.inf))
+        best = jnp.argmin(jnp.where(live, scores, jnp.inf)).astype(
+            jnp.int32)
 
         def back_step(b, rec):
             parents, parts = rec
-            return parents[b], (parts[b], b)
+            # Records are int8/int16 (download compression); widen the
+            # carry/output back to int32 indices.
+            return (parents[b].astype(jnp.int32),
+                    (parts[b].astype(jnp.int32), b))
 
         # Main phase (reads T1..R-1), reversed.
         b, (m_assign, _bs) = jax.lax.scan(
