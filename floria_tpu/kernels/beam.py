@@ -606,6 +606,33 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
             live)
 
 
+@jax.jit
+def traceback_batch(result) -> jax.Array:
+    """On-device twin of traceback() for a whole batch: walk each
+    instance's best-slot parent chain with two reversed scans and return
+    [G, R] assignments (int8). Padding steps recorded identity parents,
+    so rows past num_reads are sliced off by the caller. Downloading
+    this single small array replaces pulling all six BeamResult arrays
+    per shape group — per-array round trips over the remote-TPU link
+    dominated the beam stage's wall time."""
+    def one(warm_parents, warm_parts, main_parents, main_parts, scores,
+            live):
+        best = jnp.argmin(jnp.where(live, scores, INF)).astype(jnp.int32)
+
+        def back(b, rec):
+            parents, parts = rec
+            return parents[b].astype(jnp.int32), parts[b]
+
+        b, m_assign = jax.lax.scan(back, best,
+                                   (main_parents, main_parts),
+                                   reverse=True)
+        _b, w_assign = jax.lax.scan(back, b, (warm_parents, warm_parts),
+                                    reverse=True)
+        return jnp.concatenate([w_assign, m_assign])
+
+    return jax.vmap(one)(*result)
+
+
 def traceback(result_g, num_reads: int, ploidy: int) -> np.ndarray:
     """Recover the best beam's read -> part assignment for one instance.
 

@@ -284,6 +284,10 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
             alleles, weights, assigns, nreads, eps, ploidy)
         pending.append((members, ploidy, best, mec))
 
+    for _m, _p, best, mec in pending:
+        for a in (best, mec):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
     refined: Dict[Tuple[int, int], np.ndarray] = {}
     stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
     for members, ploidy, best, mec in pending:
@@ -344,18 +348,23 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         result = _dispatch_beam(alleles, weights, nreads, eps, nparts,
                                 max_ploidy, options.max_number_solns,
                                 options, window=window)
-        pending.append((members, result))
+        # Traceback on device: one small [G, R] int8 download per group
+        # instead of six traceback-record arrays (per-array round trips
+        # over the remote link dominated this stage).
+        assigns = beam_kernel.traceback_batch(tuple(result))
+        pending.append((members, assigns))
 
     out: Dict[Tuple[int, int], np.ndarray] = {}
     pull_t = time.time()
-    hosts = [tuple(np.asarray(a) for a in result)
-             for _m, result in pending]
+    for _m, assigns in pending:
+        if hasattr(assigns, "copy_to_host_async"):
+            assigns.copy_to_host_async()
+    hosts = [np.asarray(assigns) for _m, assigns in pending]
     timing.add("beam.pull", time.time() - pull_t)
     tb_t = time.time()
-    for (members, _result), host in zip(pending, hosts):
+    for (members, _assigns), host in zip(pending, hosts):
         for g, (ploidy, j, bt) in enumerate(members):
-            out[(j, ploidy)] = beam_kernel.traceback(
-                tuple(a[g] for a in host), bt.num_reads, ploidy)
+            out[(j, ploidy)] = host[g, :bt.num_reads].astype(np.int32)
     timing.add("beam.traceback", time.time() - tb_t)
     return out
 
