@@ -79,6 +79,35 @@ class FragCsr:
         return (self.snps[idx], self.alleles[idx], self.weights[idx],
                 ridx)
 
+    def window_counts(self, fids: np.ndarray, lo: int, hi: int,
+                      weighted: bool) -> np.ndarray:
+        """[hi-lo+1, A] float64 allele counts over the given frags
+        restricted to [lo, hi] — the common consensus accumulation
+        (1 unit or phred weight per entry), addition order identical to
+        the per-frag loops it replaces."""
+        from .. import constants
+
+        counts = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
+        snps, alleles, weights, _r = self.gather(fids)
+        sel = (snps >= lo) & (snps <= hi)
+        w = weights[sel] if weighted else 1.0
+        np.add.at(counts, (snps[sel] - lo, alleles[sel]), w)
+        return counts
+
+    def span(self, fids: np.ndarray):
+        """(lo, hi) SNP range covered by the given frags, or (None, None)
+        if none has sites."""
+        fids = np.asarray(fids, dtype=np.int64)
+        if len(fids) == 0:
+            return None, None
+        lens = self.off[fids + 1] - self.off[fids]
+        nz = fids[lens > 0]
+        if len(nz) == 0:
+            return None, None
+        first = self.snps[self.off[nz]]
+        last = self.snps[self.off[nz + 1] - 1]
+        return int(first.min()), int(last.max())
+
 
 def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
                    snp_endpoints: Tuple[int, int], column: int,

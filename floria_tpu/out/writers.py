@@ -18,7 +18,7 @@ import numpy as np
 from .. import constants
 from ..frag import Frag
 from ..options import Options
-from ..post.hapq import errors_cov_from_frags, get_hapq
+from ..post.hapq import errors_cov_from_frags, fids_array, get_hapq
 
 _COMP = bytes.maketrans(b"ACGTacgtNn", b"TGCAtgcaNn")
 
@@ -28,8 +28,13 @@ def revcomp(seq: bytes) -> bytes:
 
 
 def unweighted_counts(frags: Sequence[Frag], frag_ids, left: int,
-                      right: int) -> Tuple[np.ndarray, np.ndarray]:
+                      right: int, csr=None) -> Tuple[np.ndarray,
+                                                     np.ndarray]:
     """(counts[S, A], covered[S]) over [left, right], one unit per read."""
+    if csr is not None:
+        counts = csr.window_counts(fids_array(frag_ids), left, right,
+                                   weighted=False)
+        return counts, counts.sum(axis=-1) > 0
     S = right - left + 1
     counts = np.zeros((S, constants.MAX_ALLELES))
     for fid in frag_ids:
@@ -43,18 +48,19 @@ def write_outputs(parts: List[Set[int]], ranges: List[Tuple[int, int]],
                   out_dir: str, contig: str, frags: Sequence[Frag],
                   snp_to_genome_pos: np.ndarray, options: Options,
                   snpless_frags: Sequence[Frag],
-                  contig_len: int) -> None:
+                  contig_len: int, csr=None) -> None:
     """Per-contig output hub (file_writer.rs:21-84). `out_dir` is the
     contig's output directory."""
     os.makedirs(out_dir, exist_ok=True)
     hapqs, rel_err, avg_err = get_hapq(parts, ranges, frags,
                                        snp_to_genome_pos,
-                                       options.block_length)
+                                       options.block_length, csr=csr)
     write_haplotypes(parts, ranges, out_dir, contig, frags,
                      snp_to_genome_pos, hapqs, rel_err, options.out_dir,
-                     avg_err, contig_len, ploidy_tsv=options.ploidy_tsv)
+                     avg_err, contig_len, ploidy_tsv=options.ploidy_tsv,
+                     csr=csr)
     write_all_parts_file(parts, ranges, out_dir, contig, contig, frags,
-                         snp_to_genome_pos, hapqs, rel_err)
+                         snp_to_genome_pos, hapqs, rel_err, csr=csr)
     write_nosnp_reads_parts(out_dir, snpless_frags)
     if options.output_reads:
         write_reads(parts, ranges, out_dir, frags,
@@ -75,7 +81,8 @@ def _fmt_header(i: int, out_dir: str, contig: str, left: int, right: int,
 def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
                      snp_to_genome_pos, hapqs, rel_err, top_dir: str,
                      avg_err: float, contig_len: int,
-                     ploidy_tsv: str = "contig_ploidy_info.tsv") -> None:
+                     ploidy_tsv: str = "contig_ploidy_info.tsv",
+                     csr=None) -> None:
     num_snps = len(snp_to_genome_pos)
     covered = np.zeros(num_snps)
     coverage = np.zeros(num_snps)
@@ -96,7 +103,7 @@ def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
             right_gn = int(snp_to_genome_pos[right - 1])
             total_bases_covered += right_gn - left_gn
             cov, err, _te, _tc = errors_cov_from_frags(frags, ids, left,
-                                                       right)
+                                                       right, csr=csr)
             hap_q = hapqs[i]
             covered[left - 1:right] += 1.0
             coverage[left - 1:right] += cov
@@ -108,7 +115,7 @@ def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
                                  hap_q, rel_err[i]))
             alleles = _write_fragset_haplotypes(
                 inf, frags, ids, f"{i}", out_dir, snp_to_genome_pos, left,
-                right)
+                right, csr=csr)
             vf.write("".join(chr(a + 48) for a in alleles) + "\n")
 
     nonzero = (covered > 0).sum()
@@ -126,11 +133,11 @@ def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
 
 def _write_fragset_haplotypes(inf, frags, ids, name: str, out_dir: str,
                               snp_to_genome_pos, left: int,
-                              right: int) -> List[int]:
+                              right: int, csr=None) -> List[int]:
     """vartig_info.txt entry (file_writer.rs:308-369); returns the allele
     codes for the vartig string (15 -> '?')."""
     inf.write(f">HAP{name}.{out_dir}\tSNPRANGE:{left}-{right}\n")
-    counts, has = unweighted_counts(frags, ids, left, right)
+    counts, has = unweighted_counts(frags, ids, left, right, csr=csr)
     if not has.any():
         return []
     alleles: List[int] = []
@@ -158,7 +165,7 @@ def _write_fragset_haplotypes(inf, frags, ids, name: str, out_dir: str,
 
 def write_all_parts_file(parts, ranges, out_dir: str, contig: str,
                          prefix: str, frags, snp_to_genome_pos, hapqs,
-                         rel_err) -> None:
+                         rel_err, csr=None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{prefix}.haplosets")
     total_cov_all = 0.0
@@ -173,7 +180,7 @@ def write_all_parts_file(parts, ranges, out_dir: str, contig: str,
             else:
                 left, right = ranges[i]
                 cov, err, te, tc = errors_cov_from_frags(frags, ids, left,
-                                                         right)
+                                                         right, csr=csr)
                 f.write(_fmt_header(
                     i, out_dir, contig, left, right,
                     int(snp_to_genome_pos[left - 1]) + 1,

@@ -263,10 +263,11 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
     for f in st.short_frags:
         f.counter_id = len(combined)
         combined.append(f)
+    csr_all = csr if not st.short_frags else FragCsr(combined)
 
     final_t = time.time()
     parts, ranges = process_reads_for_final_parts(
-        haplogroups, combined, st.short_frags, options)
+        haplogroups, combined, st.short_frags, options, csr=csr_all)
 
     snpless = frags_in_snpless_gaps(ranges, snp_to_genome_pos,
                                     st.frags_without_snps,
@@ -275,5 +276,6 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
 
     write_t = time.time()
     write_outputs(parts, ranges, st.out_dir, contig, combined,
-                  snp_to_genome_pos, options, snpless, contig_len)
+                  snp_to_genome_pos, options, snpless, contig_len,
+                  csr=csr_all)
     timing.add("join.write", time.time() - write_t)

@@ -19,6 +19,7 @@ from .. import constants
 from ..frag import Frag
 from ..graph.paths import Haplogroup
 from ..options import Options
+from .hapq import fids_array
 
 
 class _PartState:
@@ -29,11 +30,23 @@ class _PartState:
     arrays cost O(parts * num_snps) memory, gigabytes on deep
     multi-haplogroup contigs."""
 
-    def __init__(self, frags: Sequence[Frag], parts: List[Set[int]]):
+    def __init__(self, frags: Sequence[Frag], parts: List[Set[int]],
+                 csr=None):
         self.frags = frags
         self.counts: List[np.ndarray] = []
         self.lo: List[int] = []
         for ids in parts:
+            if csr is not None:
+                fids = fids_array(ids)
+                lo, hi = csr.span(fids)
+                if lo is None:
+                    lo, hi = 0, -1
+                    c = np.zeros((0, constants.MAX_ALLELES))
+                else:
+                    c = csr.window_counts(fids, lo, hi, weighted=True)
+                self.counts.append(c)
+                self.lo.append(lo)
+                continue
             lo = None
             hi = None
             for fid in ids:
@@ -106,14 +119,15 @@ class _PartState:
 
 def process_reads_for_final_parts(
         haplogroups: List[Haplogroup], frags: Sequence[Frag],
-        short_frags: Sequence[Frag], options: Options) -> Tuple[
+        short_frags: Sequence[Frag], options: Options,
+        csr=None) -> Tuple[
             List[Set[int]], List[Tuple[int, int]]]:
     """part_block_manip.rs:174-274. Returns (parts as read-id sets, SNP
     ranges), sorted by range."""
     parts: List[Set[int]] = [set(int(i) for i in h.frag_ids)
                              for h in haplogroups]
     ranges: List[Tuple[int, int]] = [h.snp_range for h in haplogroups]
-    state = _PartState(frags, parts)
+    state = _PartState(frags, parts, csr=csr)
 
     read_to_parts: Dict[int, List[int]] = {}
     for i, ids in enumerate(parts):

@@ -16,8 +16,16 @@ from .. import constants
 from ..frag import Frag
 
 
+def fids_array(frag_ids) -> np.ndarray:
+    """Canonical (sorted int64) id array from a set/list/array."""
+    a = np.fromiter(frag_ids, dtype=np.int64, count=len(frag_ids))
+    a.sort()
+    return a
+
+
 def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
-                          left_snp: int, right_snp: int) -> Tuple[
+                          left_snp: int, right_snp: int,
+                          csr=None) -> Tuple[
                               float, float, float, float]:
     """(cov, err, total_err, total_support) over [left_snp, right_snp].
 
@@ -25,14 +33,20 @@ def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
     (support - consensus) / support (utils_frags.rs:596-657). The
     reference's max tracking is iteration-order dependent
     (utils_frags.rs:620-623 compares against the running sum); we compute
-    the intended per-site maximum.
+    the intended per-site maximum. Counts are integral, so the vectorized
+    (csr) and per-frag accumulations are exactly equal.
     """
-    S = right_snp - left_snp + 1
-    counts = np.zeros((S, constants.MAX_ALLELES))
-    for fid in frag_ids:
-        f = frags[int(fid)]
-        sel = (f.snps >= left_snp) & (f.snps <= right_snp)
-        np.add.at(counts, (f.snps[sel] - left_snp, f.alleles[sel]), 1.0)
+    if csr is not None:
+        counts = csr.window_counts(fids_array(frag_ids), left_snp,
+                                   right_snp, weighted=False)
+    else:
+        S = right_snp - left_snp + 1
+        counts = np.zeros((S, constants.MAX_ALLELES))
+        for fid in frag_ids:
+            f = frags[int(fid)]
+            sel = (f.snps >= left_snp) & (f.snps <= right_snp)
+            np.add.at(counts,
+                      (f.snps[sel] - left_snp, f.alleles[sel]), 1.0)
     support = counts.sum(axis=-1)
     maxc = counts.max(axis=-1)
     nonzero = support > 0
@@ -44,10 +58,23 @@ def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
     return cov, err, total_err, total_support
 
 
-def _consensus_map(frags: Sequence[Frag],
-                   frag_ids) -> Dict[int, Tuple[int, np.ndarray]]:
+def _consensus_map(frags: Sequence[Frag], frag_ids,
+                   csr=None) -> Dict[int, Tuple[int, np.ndarray]]:
     """snp -> (consensus allele, counts[A]) phred-weighted; accumulator
     spans only the part's own SNP range (O(part span), not O(contig))."""
+    if csr is not None:
+        fids = fids_array(frag_ids)
+        lo, hi = csr.span(fids)
+        if lo is None:
+            return {}
+        acc = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
+        covered = np.zeros(hi - lo + 1, dtype=bool)
+        snps, alleles, weights, _r = csr.gather(fids)
+        np.add.at(acc, (snps - lo, alleles), weights)
+        covered[snps - lo] = True
+        cons = acc.argmax(axis=1)
+        return {int(p) + lo: (int(cons[p]), acc[p])
+                for p in np.flatnonzero(covered)}
     lo = None
     hi = None
     for fid in frag_ids:
@@ -95,7 +122,8 @@ def find_overlapping(ranges: List[Tuple[int, int]],
 
 def get_hapq(parts: List[Set[int]], ranges: List[Tuple[int, int]],
              frags: Sequence[Frag], snp_to_genome_pos: np.ndarray,
-             block_length: int) -> Tuple[List[int], List[float], float]:
+             block_length: int, csr=None) -> Tuple[List[int],
+                                                   List[float], float]:
     """(hapqs, relative errors, avg_err) — part_block_manip.rs:517-620."""
     total_covs = []
     errs = []
@@ -103,14 +131,14 @@ def get_hapq(parts: List[Set[int]], ranges: List[Tuple[int, int]],
     error = 0.0
     for i, ids in enumerate(parts):
         _cov, err, total_err, total_cov = errors_cov_from_frags(
-            frags, ids, ranges[i][0], ranges[i][1])
+            frags, ids, ranges[i][0], ranges[i][1], csr=csr)
         weight += total_cov
         error += total_err
         total_covs.append(total_cov)
         errs.append(err)
     avg_err = error / weight if weight else float("nan")
 
-    consensus = [_consensus_map(frags, ids) for ids in parts]
+    consensus = [_consensus_map(frags, ids, csr=csr) for ids in parts]
     overlaps = find_overlapping(ranges, 0.05)
     hapqs: List[int] = []
     purities: List[float] = []
