@@ -353,13 +353,22 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         # over the remote link dominated this stage).
         assigns = beam_kernel.traceback_batch(tuple(result))
         pending.append((members, assigns))
+        logging.getLogger("floria_tpu").debug(
+            "beam group r_pad=%d s_pad=%d G=%d window=%d", r_pad, s_pad,
+            G, window)
 
     out: Dict[Tuple[int, int], np.ndarray] = {}
     pull_t = time.time()
     for _m, assigns in pending:
         if hasattr(assigns, "copy_to_host_async"):
             assigns.copy_to_host_async()
-    hosts = [np.asarray(assigns) for _m, assigns in pending]
+    hosts = []
+    _log = logging.getLogger("floria_tpu")
+    for _m, assigns in pending:
+        t = time.time()
+        hosts.append(np.asarray(assigns))
+        _log.debug("beam group pull %s in %.3fs", assigns.shape,
+                   time.time() - t)
     timing.add("beam.pull", time.time() - pull_t)
     tb_t = time.time()
     for (members, _assigns), host in zip(pending, hosts):
