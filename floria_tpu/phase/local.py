@@ -343,8 +343,13 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         # Sliding compute window: columns behind the sorted-read frontier
         # are never read again, so per-step work scales with the max read
         # span instead of the block width. Coarsely bucketed to limit
-        # compile variants.
-        window = min(s_pad, round_up(max_span + 128, 256))
+        # compile variants. Only worth it for a deep (>=4x) shrink: the
+        # per-step dynamic slices of the read-weight tensor cost more
+        # HBM traffic than the smaller compute saves (measured on v5e at
+        # G=296 R=320 S=2048: window=S/2 3.53s/sweep vs full 2.35s).
+        window = round_up(max_span + 128, 256)
+        if window * 4 > s_pad:
+            window = 0
         result = _dispatch_beam(alleles, weights, nreads, eps, nparts,
                                 max_ploidy, options.max_number_solns,
                                 options, window=window)
