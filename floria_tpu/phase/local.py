@@ -78,6 +78,30 @@ def pick_best_ploidy(mec_vector: np.ndarray, expected_errors: np.ndarray,
     return best
 
 
+def _sweep_decide(mec_vector: np.ndarray, expected_errors: np.ndarray,
+                  ploidy: int, options: Options) -> Tuple[bool, int]:
+    """One level of pick_best_ploidy's sequential walk: given MEC stats
+    through `ploidy`, (decided, best). Exactly equivalent to running
+    pick_best_ploidy on the full vector (pinned by
+    tests/test_kernels.py::test_sweep_decide_matches_pick_best)."""
+    max_ploidy = len(mec_vector)
+    m = mec_vector[ploidy - 1]
+    if ploidy > 1:
+        prev = mec_vector[ploidy - 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = m / prev
+        threshold = mec_threshold(ploidy, options.epsilon,
+                                  options.ploidy_sensitivity)
+        if not (ratio < threshold):
+            if options.stopping_heuristic:
+                return True, ploidy - 1
+    if m < expected_errors[ploidy - 1]:
+        return True, ploidy
+    if ploidy == max_ploidy:
+        return True, ploidy
+    return False, ploidy
+
+
 # --- shape bucketing -------------------------------------------------------
 
 def _bucket_reads(r: int) -> int:
@@ -140,32 +164,63 @@ def phase_contigs_blocks(per_contig, options: Options
         return out
 
     _log = logging.getLogger("floria_tpu")
-    t0 = time.time()
+    sweep_t = time.time()
     cache = BlockDeviceCache(blocks)
-    assignments = phase_instances(
-        blocks, options, ploidies=range(2, options.max_ploidy + 1),
-        cache=cache)
-    timing.add("beam", time.time() - t0)
-    _log.info("Beam search: %d blocks x %d ploidies in %.2fs",
-              len(blocks), options.max_ploidy, time.time() - t0)
-    t0 = time.time()
-    refined, mec_stats = refine_instances(blocks, assignments, options,
+    max_p = options.max_ploidy
+    mec_vec = {key: np.zeros(max_p) for key, _bt in blocks}
+    exp_vec = {key: np.zeros(max_p) for key, _bt in blocks}
+    chosen: Dict[object, Tuple[int, np.ndarray]] = {}
+    prev_assign: Dict[object, np.ndarray] = {}
+    # Adaptive level-wise sweep, mirroring the reference's sequential
+    # per-block early exit (graph_processing.rs:198-252): ploidy p runs
+    # only for blocks still undecided after p-1, and each level
+    # dispatches at its EXACT ploidy (state [p*W, p, R], not padded to
+    # max_ploidy) — on low-strain data most blocks stop at 2-3, skipping
+    # the majority of the old all-ploidies mixed dispatch's compute.
+    active = blocks
+    beam_s = upem_s = 0.0
+    for ploidy in range(1, max_p + 1):
+        if not active:
+            break
+        t0 = time.time()
+        if ploidy == 1:
+            assignments: Dict[Tuple[object, int], np.ndarray] = {}
+        else:
+            assignments = phase_instances(active, options,
+                                          ploidies=[ploidy],
                                           cache=cache)
-    timing.add("upem", time.time() - t0)
-    _log.info("UPEM refinement in %.2fs", time.time() - t0)
+        beam_s += time.time() - t0
+        t0 = time.time()
+        refined_p, stats_p = refine_instances(active, assignments,
+                                              options, cache=cache,
+                                              ploidies=[ploidy])
+        upem_s += time.time() - t0
+        next_active = []
+        for key, bt in active:
+            good, bad = stats_p[(key, ploidy)]
+            mec_vec[key][ploidy - 1] = bad
+            exp_vec[key][ploidy - 1] = (good + bad) * options.epsilon
+            decided, best = _sweep_decide(mec_vec[key], exp_vec[key],
+                                          ploidy, options)
+            if decided:
+                a = (refined_p[(key, ploidy)] if best == ploidy
+                     else prev_assign[key])
+                chosen[key] = (best, a)
+            else:
+                prev_assign[key] = refined_p[(key, ploidy)]
+                next_active.append((key, bt))
+        active = next_active
+    timing.add("beam", beam_s)
+    timing.add("upem", upem_s)
+    _log.info("Beam search: %d blocks, adaptive ploidy sweep <= %d in "
+              "%.2fs (UPEM %.2fs)", len(blocks), max_p,
+              time.time() - sweep_t, upem_s)
 
     for (ci, j), bt in blocks:
         ckey = per_contig[ci][0]
         debug_dir = per_contig[ci][3]
-        mec_vector = np.zeros(options.max_ploidy)
-        expected = np.zeros(options.max_ploidy)
-        for ploidy in range(1, options.max_ploidy + 1):
-            good, bad = mec_stats[((ci, j), ploidy)]
-            mec_vector[ploidy - 1] = bad
-            expected[ploidy - 1] = (good + bad) * options.epsilon
-
-        best_ploidy = pick_best_ploidy(mec_vector, expected, options)
-        assignment = refined[((ci, j), best_ploidy)]
+        mec_vector = mec_vec[(ci, j)]
+        best_ploidy, assignment = chosen[(ci, j)]
         part_ids = [bt.frag_ids[assignment == p]
                     for p in range(best_ploidy)]
         out[ckey].append(LocalBlockResult(
@@ -244,7 +299,8 @@ class BlockDeviceCache:
 def refine_instances(blocks: List[Tuple[int, BlockTensor]],
                      assignments: Dict[Tuple[int, int], np.ndarray],
                      options: Options,
-                     cache: Optional[BlockDeviceCache] = None) -> Tuple[
+                     cache: Optional[BlockDeviceCache] = None,
+                     ploidies=None) -> Tuple[
                          Dict[Tuple[int, int], np.ndarray],
                          Dict[Tuple[int, int], Tuple[float, float]]]:
     """Batched UPEM refinement + no-phred MEC stats for every
@@ -257,9 +313,11 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
 
     if cache is None:
         cache = BlockDeviceCache(blocks)
+    if ploidies is None:
+        ploidies = range(1, options.max_ploidy + 1)
     groups: Dict[Tuple[int, int, int],
                  List[Tuple[int, BlockTensor]]] = {}
-    for ploidy in range(1, options.max_ploidy + 1):
+    for ploidy in ploidies:
         for j, bt in blocks:
             key = (ploidy, _bucket_reads(bt.num_reads),
                    _bucket_sites(bt.num_sites))

@@ -218,3 +218,28 @@ def test_pick_best_ploidy_rules():
     mec3 = np.array([0.0, 0.0, 0.0, 0.0, 0.0])
     exp3 = np.zeros(5)
     assert pick_best_ploidy(mec3, exp3, opts) == 1
+
+
+def test_sweep_decide_matches_pick_best():
+    """The adaptive level-wise stop (_sweep_decide) must reproduce the
+    full-vector replay (pick_best_ploidy) for every stopping pattern."""
+    from floria_tpu.phase.local import _sweep_decide
+
+    rng = np.random.default_rng(7)
+    for sens in (1, 2, 3):
+        for heur in (True, False):
+            opts = Options(epsilon=0.03, ploidy_sensitivity=sens,
+                           stopping_heuristic=heur, max_ploidy=5)
+            for _trial in range(300):
+                mec = rng.choice(
+                    [0.0, 0.5, 1.0, 3.0, 10.0, 30.0, 100.0], size=5)
+                exp = rng.choice([0.1, 1.0, 5.0, 50.0], size=5)
+                want = pick_best_ploidy(mec, exp, opts)
+                got = None
+                for p in range(1, 6):
+                    decided, best = _sweep_decide(mec[:5], exp[:5], p,
+                                                  opts)
+                    if decided:
+                        got = best
+                        break
+                assert got == want, (mec, exp, sens, heur)
