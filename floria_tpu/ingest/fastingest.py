@@ -219,6 +219,7 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
                    (int(boundaries[k]), int(boundaries[k + 1]))
                    for k in range(len(boundaries) - 1)}
     seq_buf, qual_buf, pay_offs = fb.payloads_batch(sel)
+    rec_targets = []  # (frag, slice into out_* arrays) per record
     for local_idx in range(n_rec):
         gi = int(sel[local_idx])
         flag = int(fb.flag[gi])
@@ -240,8 +241,14 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
                                  out_qual[lo:hi].copy(),
                                  out_qpos[lo:hi].copy())
             if realigner is not None:
-                realigner.add_jobs(
-                    frag, snps, out_qpos[lo:hi].astype(np.int64),
-                    seq_buf[p0:p1])
+                rec_targets.append((frag, slice(lo, hi)))
         by_name.setdefault(frag.id, []).append((flag, frag))
+    if realigner is not None and rec_targets:
+        # One vectorized window gather + pack for the whole contig
+        # (per-record calls cost ~200us each in Python).
+        starts = pay_offs[out_rec]
+        realigner.add_jobs_bulk(
+            seq_buf, out_qpos.astype(np.int64) + starts, starts,
+            pay_offs[out_rec + 1], out_snp.astype(np.int64) + 1,
+            rec_targets)
     return by_name

@@ -236,6 +236,35 @@ class SnpRealigner:
         pool._nal.append(self.n_alleles[snp_idx[ok]])
         pool._targets.append((frag, snp_counters[ok]))
 
+    def add_jobs_bulk(self, seq: np.ndarray, qpos_global: np.ndarray,
+                      rec_start: np.ndarray, rec_end: np.ndarray,
+                      snp_counters: np.ndarray,
+                      rec_targets) -> None:
+        """Queue a whole contig's jobs in one vectorized pass.
+
+        seq: concatenated payload bases of all records; qpos_global:
+        per-site position in that buffer; rec_start/rec_end: the owning
+        record's payload bounds per site; rec_targets: [(frag, slice)]
+        per record covering snp_counters in order (record-major, the
+        same order the packed rows are emitted)."""
+        snp_idx = snp_counters.astype(np.int64) - 1
+        gn = self.cv.genome_pos[snp_idx]
+        rel = qpos_global - rec_start
+        ok = ((gn >= FLANK) & (gn + FLANK < len(self.ref))
+              & (rel >= FLANK) & (qpos_global + FLANK < rec_end))
+        if not ok.any():
+            return
+        base = self._ensure_tables()
+        pool = self.pool
+        pool._q.append(_pack4(_ENC[seq[qpos_global[ok][:, None]
+                                       + _OFFSETS]]))
+        pool._si.append((base + snp_idx[ok]).astype(np.int32))
+        pool._nal.append(self.n_alleles[snp_idx[ok]])
+        for frag, sl in rec_targets:
+            kept = snp_counters[sl][ok[sl]]
+            if len(kept):
+                pool._targets.append((frag, kept))
+
     def flush(self) -> None:
         """Flush this realigner's pool (a shared pool flushes every
         contig's jobs at once)."""

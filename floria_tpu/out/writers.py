@@ -140,27 +140,27 @@ def _write_fragset_haplotypes(inf, frags, ids, name: str, out_dir: str,
     counts, has = unweighted_counts(frags, ids, left, right, csr=csr)
     if not has.any():
         return []
-    alleles: List[int] = []
-    for pos in range(left, right + 1):
-        s = pos - left
-        if len(snp_to_genome_pos) == 0:
-            inf.write(f"{pos}:NA\t")
+    # One buffered write; identical bytes to the per-field writes.
+    bests = counts.argmax(axis=1)
+    cnt_int = np.round(counts).astype(np.int64)
+    have_gpos = len(snp_to_genome_pos) > 0
+    out: List[str] = []
+    A = constants.MAX_ALLELES
+    for s in range(right - left + 1):
+        pos = left + s
+        if have_gpos:
+            head = f"{pos}:{int(snp_to_genome_pos[pos - 1])}\t"
         else:
-            inf.write(f"{pos}:{int(snp_to_genome_pos[pos - 1])}\t")
+            head = f"{pos}:NA\t"
         if not has[s]:
-            inf.write("?\t")
-            alleles.append(15)
-            inf.write("NA\t")
+            out.append(head + "?\tNA\t\n")
         else:
-            best = int(counts[s].argmax())
-            inf.write(f"{best}\t")
-            alleles.append(best)
-            entries = [f"{a}:{int(round(counts[s, a]))}"
-                       for a in range(constants.MAX_ALLELES)
-                       if counts[s, a] > 0]
-            inf.write("|".join(entries) + "\t")
-        inf.write("\n")
-    return alleles
+            row = counts[s]
+            entries = "|".join(f"{a}:{cnt_int[s, a]}"
+                               for a in range(A) if row[a] > 0)
+            out.append(f"{head}{bests[s]}\t{entries}\t\n")
+    inf.write("".join(out))
+    return np.where(has, bests, 15).tolist()
 
 
 def write_all_parts_file(parts, ranges, out_dir: str, contig: str,
