@@ -191,7 +191,16 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
     snp_pos = np.ascontiguousarray(contig_vcf.genome_pos, dtype=np.int64)
     allele_mat = np.ascontiguousarray(contig_vcf.allele_matrix(),
                                       dtype=np.uint8)
-    cap = max(1024, n_rec * 64)
+    # Size the site arrays from SNP density x total read bases: a retry
+    # re-runs the whole native extraction AND re-allocates every output
+    # array, and first-touch page faults on this VM cost ~5ms/MB, so
+    # under-sizing is far more expensive than the ~20% headroom.
+    est = 0
+    if len(snp_pos):
+        span = max(int(snp_pos[-1]) - int(snp_pos[0]) + 1, 1)
+        density = len(snp_pos) / span
+        est = int(float(fb.l_seq[sel].sum()) * density * 1.25) + 1024
+    cap = max(1024, n_rec * 64, est)
     while True:
         out_rec = np.zeros(cap, np.int32)
         out_snp = np.zeros(cap, np.int32)

@@ -256,16 +256,20 @@ class SnpRealigner:
             return
         base = self._ensure_tables()
         pool = self.pool
-        # Chunked window gather: one flat [N, W] int64 index tensor for
-        # millions of jobs is a >1 GB allocation whose page faults cost
-        # far more than the gather; slabs keep the working set in cache.
         qsel = qpos_global[ok]
-        n = len(qsel)
-        packed = np.empty((n, WINDOW // 2), np.uint8)
-        slab = 1 << 17
-        for i in range(0, n, slab):
-            idx = qsel[i:i + slab][:, None] + _OFFSETS
-            packed[i:i + slab] = _pack4(_ENC[seq[idx]])
+        from .. import native
+        packed = native.pack_windows(seq, qsel, FLANK)
+        if packed is None:
+            # Chunked window gather: one flat [N, W] int64 index tensor
+            # for millions of jobs is a >1 GB allocation whose page
+            # faults cost far more than the gather; slabs keep the
+            # working set in cache.
+            n = len(qsel)
+            packed = np.empty((n, WINDOW // 2), np.uint8)
+            slab = 1 << 17
+            for i in range(0, n, slab):
+                idx = qsel[i:i + slab][:, None] + _OFFSETS
+                packed[i:i + slab] = _pack4(_ENC[seq[idx]])
         pool._q.append(packed)
         pool._si.append((base + snp_idx[ok]).astype(np.int32))
         pool._nal.append(self.n_alleles[snp_idx[ok]])

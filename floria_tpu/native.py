@@ -44,6 +44,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.floria_bgzf_inflate.restype = ctypes.c_int64
     lib.floria_bgzf_inflate.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.floria_bgzf_index.restype = ctypes.c_int64
+    lib.floria_bgzf_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64]
+    lib.floria_bgzf_inflate_blocks.restype = ctypes.c_int32
+    lib.floria_bgzf_inflate_blocks.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+    lib.floria_pack_windows.restype = None
+    lib.floria_pack_windows.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32]
     lib.floria_solve_flow.restype = ctypes.c_int32
     lib.floria_solve_flow.argtypes = [
         ctypes.c_int32,
@@ -66,6 +86,27 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     lib = get_lib()
     if lib is None:
         return None
+    # Fast path: index the BGZF members (no inflation), then inflate
+    # them in parallel — one pass total instead of the two serial
+    # passes (size + fill) the generic inflater needs.
+    cap = max(64, len(data) // 1024)
+    while True:
+        in_off = np.empty(cap, np.int64)
+        out_size = np.empty(cap, np.int64)
+        n = lib.floria_bgzf_index(data, len(data), in_off, out_size, cap)
+        if n >= 0 or n == -1:
+            break
+        cap = max(cap * 2, -n)
+    if n > 0:
+        out_off = np.zeros(n + 1, np.int64)
+        np.cumsum(out_size[:n], out=out_off[1:])
+        total = int(out_off[-1])
+        out = ctypes.create_string_buffer(total)
+        rc = lib.floria_bgzf_inflate_blocks(
+            data, len(data), in_off[:n].copy(), out_off[:-1].copy(),
+            out_size[:n].copy(), n, out, os.cpu_count() or 1)
+        if rc == 0:
+            return out.raw
     size = lib.floria_bgzf_inflate(data, len(data), None, 0)
     if size < 0:
         return None
@@ -74,6 +115,23 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def pack_windows(seq_buf: np.ndarray, qpos: np.ndarray,
+                 flank: int) -> Optional[np.ndarray]:
+    """4-bit encode + pack [n, 2*flank] query windows gathered at
+    qpos[i]-flank from the payload buffer; None without the native lib
+    (kernels/realign.py keeps the numpy fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qpos = np.ascontiguousarray(qpos, dtype=np.int64)
+    n = len(qpos)
+    out = np.empty((n, flank), np.uint8)
+    lib.floria_pack_windows(np.ascontiguousarray(seq_buf, dtype=np.uint8),
+                            qpos, n, flank, out.reshape(-1),
+                            os.cpu_count() or 1)
+    return out
 
 
 def baseline_sweep(alleles: np.ndarray, weights: np.ndarray,

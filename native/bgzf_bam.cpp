@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -54,6 +55,133 @@ int64_t floria_bgzf_inflate(const uint8_t* data, int64_t len, uint8_t* out,
         inflateEnd(&zs);
     }
     return total;
+}
+
+// Index a BGZF stream without inflating: walk the gzip members using the
+// BC extra subfield (BSIZE = total member size - 1) and read each
+// member's trailing ISIZE. Fills in_off[i] (member byte offset) and
+// out_size[i] (uncompressed size). Returns the member count, -needed if
+// cap is too small, or -1 for streams that are not block-gzip (no BC
+// subfield) — callers then fall back to the serial inflater above.
+int64_t floria_bgzf_index(const uint8_t* data, int64_t len, int64_t* in_off,
+                          int64_t* out_size, int64_t cap) {
+    int64_t pos = 0;
+    int64_t n = 0;
+    while (pos < len) {
+        if (pos + 18 > len) return -1;
+        const uint8_t* h = data + pos;
+        if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || !(h[3] & 4))
+            return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, h + 10, 2);
+        if (pos + 12 + xlen > len) return -1;
+        int64_t bsize = -1;
+        const uint8_t* x = h + 12;
+        int64_t xrem = xlen;
+        while (xrem >= 4) {
+            uint16_t slen;
+            std::memcpy(&slen, x + 2, 2);
+            if (x[0] == 66 && x[1] == 67 && slen == 2) {
+                uint16_t bs;
+                std::memcpy(&bs, x + 4, 2);
+                bsize = static_cast<int64_t>(bs) + 1;
+                break;
+            }
+            x += 4 + slen;
+            xrem -= 4 + slen;
+        }
+        if (bsize < 0 || pos + bsize > len) return -1;
+        if (n >= cap) return -(n + 1);
+        uint32_t isize;
+        std::memcpy(&isize, data + pos + bsize - 4, 4);
+        in_off[n] = pos;
+        out_size[n] = isize;
+        ++n;
+        pos += bsize;
+    }
+    return n;
+}
+
+// Inflate indexed BGZF members in parallel (members are independent gzip
+// streams). out_off[i] is the destination offset of member i; callers
+// compute it as the prefix sum of floria_bgzf_index's out_size. Returns
+// 0, or -1 if any member fails to inflate to exactly its stated size.
+int32_t floria_bgzf_inflate_blocks(const uint8_t* data, int64_t len,
+                                   const int64_t* in_off,
+                                   const int64_t* out_off,
+                                   const int64_t* out_size, int64_t n,
+                                   uint8_t* out, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::vector<int> errs(n_threads, 0);
+    auto work = [&](int t) {
+        z_stream zs;
+        for (int64_t i = t; i < n; i += n_threads) {
+            std::memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 15 + 16) != Z_OK) { errs[t] = 1; return; }
+            zs.next_in = const_cast<uint8_t*>(data + in_off[i]);
+            zs.avail_in = static_cast<uInt>(
+                (i + 1 < n ? in_off[i + 1] : len) - in_off[i]);
+            zs.next_out = out + out_off[i];
+            zs.avail_out = static_cast<uInt>(out_size[i]);
+            int ret = inflate(&zs, Z_FINISH);
+            if (ret != Z_STREAM_END
+                || static_cast<int64_t>(zs.total_out) != out_size[i])
+                errs[t] = 1;
+            inflateEnd(&zs);
+            if (errs[t]) return;
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 1; t < n_threads; ++t) threads.emplace_back(work, t);
+    work(0);
+    for (auto& th : threads) th.join();
+    for (int t = 0; t < n_threads; ++t)
+        if (errs[t]) return -1;
+    return 0;
+}
+
+// Pack realignment query windows: for each job, gather WINDOW=2*flank
+// ASCII bases at qpos[i]-flank .. qpos[i]+flank from the concatenated
+// payload buffer, 4-bit encode them (BAM nibble alphabet, unknown -> N),
+// and pack two codes per output byte (even index = low nibble). Mirrors
+// kernels/realign.py's _ENC/_pack4 numpy path, which remains the
+// fallback. Bounds are the caller's contract (the ok mask in
+// add_jobs_bulk).
+void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
+                         int64_t n, int32_t flank, uint8_t* out,
+                         int32_t n_threads) {
+    static uint8_t enc[256];
+    static bool init = false;
+    if (!init) {
+        static const char alphabet[17] = "=ACMGRSVTWYHKDBN";
+        std::memset(enc, 15, sizeof(enc));
+        for (int i = 0; i < 16; ++i)
+            enc[static_cast<uint8_t>(alphabet[i])] =
+                static_cast<uint8_t>(i);
+        init = true;
+    }
+    const int64_t w2 = flank;  // packed bytes per job = WINDOW/2
+    if (n_threads < 1) n_threads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* src = seq + qpos[i] - flank;
+            uint8_t* dst = out + i * w2;
+            for (int64_t j = 0; j < w2; ++j)
+                dst[j] = static_cast<uint8_t>(
+                    enc[src[2 * j]] | (enc[src[2 * j + 1]] << 4));
+        }
+    };
+    if (n_threads == 1 || n < (1 << 15)) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; ++t)
+        threads.emplace_back(work, per * t,
+                             std::min<int64_t>(n, per * (t + 1)));
+    work(0, std::min<int64_t>(n, per));
+    for (auto& th : threads) th.join();
 }
 
 // Scan decoded BAM records starting at `off` (after header+refs).
