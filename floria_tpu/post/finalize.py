@@ -60,7 +60,7 @@ class _PartState:
             c = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
             for fid in ids:
                 f = frags[fid]
-                np.add.at(c, (f.snps - lo, f.alleles), f.weights)
+                c[f.snps - lo, f.alleles] += f.weights
             self.counts.append(c)
             self.lo.append(lo)
 
@@ -95,8 +95,9 @@ class _PartState:
         if not len(f.snps):
             return
         self._ensure(part, int(f.snps[0]), int(f.snps[-1]))
-        np.add.at(self.counts[part],
-                  (f.snps - self.lo[part], f.alleles), f.weights)
+        # A frag has one site per SNP, so the fancy-index add is exact
+        # (no colliding indices) and ~20x cheaper than np.add.at.
+        self.counts[part][f.snps - self.lo[part], f.alleles] += f.weights
 
     def distance(self, fid: int, part: int,
                  epsilon: float) -> Tuple[float, float]:
@@ -140,14 +141,20 @@ def process_reads_for_final_parts(
             state.remove(fid, i)
     for fid in sorted(read_to_parts):
         part_ids = read_to_parts[fid]
-        best = None
-        best_key = None
-        for i in sorted(part_ids):
-            same, diff = state.distance(fid, i, options.epsilon)
-            key = (diff + 1.0, i, same)
-            if best_key is None or key < best_key:
-                best_key = key
-                best = i
+        if len(part_ids) == 1:
+            # Single-candidate reads (the vast majority) re-join their
+            # part unconditionally: distance() has no side effects, so
+            # the argmin over one candidate never needs computing.
+            best = part_ids[0]
+        else:
+            best = None
+            best_key = None
+            for i in sorted(part_ids):
+                same, diff = state.distance(fid, i, options.epsilon)
+                key = (diff + 1.0, i, same)
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = i
         parts[best].add(fid)
         state.add(fid, best)
 

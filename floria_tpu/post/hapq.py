@@ -67,10 +67,14 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
         lo, hi = csr.span(fids)
         if lo is None:
             return {}
-        acc = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
-        covered = np.zeros(hi - lo + 1, dtype=bool)
+        A = constants.MAX_ALLELES
+        S = hi - lo + 1
+        covered = np.zeros(S, dtype=bool)
         snps, alleles, weights, _r = csr.gather(fids)
-        np.add.at(acc, (snps - lo, alleles), weights)
+        # bincount == np.add.at bit-for-bit (both accumulate in element
+        # order), ~20x faster.
+        acc = np.bincount((snps - lo) * A + alleles, weights=weights,
+                          minlength=S * A).reshape(S, A)
         covered[snps - lo] = True
         cons = acc.argmax(axis=1)
         return {int(p) + lo: (int(cons[p]), acc[p])
@@ -89,7 +93,8 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
     covered = np.zeros(hi - lo + 1, dtype=bool)
     for fid in frag_ids:
         f = frags[int(fid)]
-        np.add.at(acc, (f.snps - lo, f.alleles), f.weights)
+        # one site per SNP per frag -> fancy-index add is exact
+        acc[f.snps - lo, f.alleles] += f.weights
         covered[f.snps - lo] = True
     cons = acc.argmax(axis=1)
     return {int(p) + lo: (int(cons[p]), acc[p])
