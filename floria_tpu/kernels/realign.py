@@ -329,19 +329,36 @@ def flush_pool(pool: RealignPool) -> None:
     al_d = jnp.asarray(al_tab)
     nal_d = jnp.asarray(nal_tab)
 
+    best = np.empty(N, np.int8)
+    # Exact-match precheck (native): a query window equal to a candidate
+    # variant scores the unbeatable global max W*MATCH in the NW, and
+    # two variants can't both match (they differ at the center), so the
+    # matched allele IS the kernel's argmax. At realistic error rates
+    # this resolves ~half the jobs host-side with a 16-byte memcmp each.
+    from .. import native as _native
+    todo = np.ones(N, bool)
+    if N:
+        var = np.repeat(ref_tab[:T, None, :], A, axis=1)
+        var[:, :, FLANK] = al_tab[:T]
+        var_packed = np.ascontiguousarray(
+            (var[:, :, 0::2] | (var[:, :, 1::2] << 4)).astype(np.uint8))
+        pre = _native.realign_exact(q, si, nal.astype(np.int32),
+                                    var_packed)
+        if pre is not None:
+            best = pre
+            todo = pre < 0
+    rest = np.nonzero(todo)[0]
     # Biallelic sites (the vast majority) only need 2 NW problems per
     # job; run them as their own partition at half the compute.
-    best = np.empty(N, np.int8)
-    bi = nal <= 2
-    for sel, a_max in ((bi, min(2, A)), (~bi, A)):
-        idx = np.nonzero(sel)[0]
-        if len(idx) == 0:
-            continue
-        if len(idx) == N:
-            best = _dispatch_jobs(q, si, ref_d, al_d, nal_d, a_max)
-            break
-        best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
-                                   nal_d, a_max)
+    if len(rest):
+        nal_r = nal[rest]
+        bi = nal_r <= 2
+        for sel, a_max in ((bi, min(2, A)), (~bi, A)):
+            idx = rest[np.nonzero(sel)[0]]
+            if len(idx) == 0:
+                continue
+            best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
+                                       nal_d, a_max)
 
     off = 0
     for frag, snp_pos in pool._targets:

@@ -64,6 +64,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
+    lib.floria_realign_exact.restype = ctypes.c_int64
+    lib.floria_realign_exact.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32]
     lib.floria_solve_flow.restype = ctypes.c_int32
     lib.floria_solve_flow.argtypes = [
         ctypes.c_int32,
@@ -115,6 +124,27 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def realign_exact(q: np.ndarray, si: np.ndarray, nal: np.ndarray,
+                  var_tab: np.ndarray) -> Optional[np.ndarray]:
+    """Exact-window-match precheck for realignment jobs: [n] int8 best
+    allele (-1 = unresolved, needs the device NW). q: [n, W//2] packed
+    queries; si: [n] SNP rows; nal: [n] allele counts; var_tab:
+    [T, A, W//2] packed candidate variants. None without the native
+    lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(q)
+    T, A, w2 = var_tab.shape
+    out = np.empty(n, np.int8)
+    lib.floria_realign_exact(
+        np.ascontiguousarray(q), np.ascontiguousarray(si, np.int32),
+        np.ascontiguousarray(nal, np.int32),
+        np.ascontiguousarray(var_tab), n, A, w2, out,
+        os.cpu_count() or 1)
+    return out
 
 
 def pack_windows(seq_buf: np.ndarray, qpos: np.ndarray,

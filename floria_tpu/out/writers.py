@@ -116,7 +116,8 @@ def write_haplotypes(parts, ranges, out_dir: str, contig: str, frags,
             alleles = _write_fragset_haplotypes(
                 inf, frags, ids, f"{i}", out_dir, snp_to_genome_pos, left,
                 right, csr=csr)
-            vf.write("".join(chr(a + 48) for a in alleles) + "\n")
+            vf.write((np.asarray(alleles, np.uint8) + 48).tobytes()
+                     .decode("latin-1") + "\n")
 
     nonzero = (covered > 0).sum()
     avg_ploidy = covered.sum() / num_snps if num_snps else float("nan")

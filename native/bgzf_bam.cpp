@@ -184,6 +184,54 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// Resolve realignment jobs whose packed query window EXACTLY matches one
+// of the SNP's packed candidate-variant windows (reference window with
+// the allele substituted at the center). An exact match scores the
+// global maximum W*MATCH in the NW kernel, and two variants can never
+// both match (they differ at the center), so the matched allele is the
+// kernel's argmax — no device work needed. out_best[i] = allele or -1.
+// Returns the number resolved.
+int64_t floria_realign_exact(const uint8_t* q, const int32_t* si,
+                             const int32_t* nal, const uint8_t* var_tab,
+                             int64_t n, int32_t max_a, int32_t w2,
+                             int8_t* out_best, int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    std::vector<int64_t> counts(n_threads, 0);
+    auto work = [&](int t, int64_t lo, int64_t hi) {
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* qi = q + i * w2;
+            const uint8_t* vars =
+                var_tab + static_cast<int64_t>(si[i]) * max_a * w2;
+            int8_t best = -1;
+            int32_t na = nal[i] < max_a ? nal[i] : max_a;
+            for (int32_t a = 0; a < na; ++a) {
+                if (std::memcmp(qi, vars + a * w2, w2) == 0) {
+                    best = static_cast<int8_t>(a);
+                    break;
+                }
+            }
+            out_best[i] = best;
+            if (best >= 0) ++c;
+        }
+        counts[t] = c;
+    };
+    if (n_threads == 1 || n < (1 << 15)) {
+        work(0, 0, n);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (n + n_threads - 1) / n_threads;
+        for (int t = 1; t < n_threads; ++t)
+            threads.emplace_back(work, t, per * t,
+                                 std::min<int64_t>(n, per * (t + 1)));
+        work(0, 0, std::min<int64_t>(n, per));
+        for (auto& th : threads) th.join();
+    }
+    int64_t total = 0;
+    for (auto c : counts) total += c;
+    return total;
+}
+
 // Scan decoded BAM records starting at `off` (after header+refs).
 // Two-pass interface: first call with null outputs fills counts only.
 //
