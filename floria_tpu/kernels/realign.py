@@ -55,8 +55,16 @@ NEG = -1e9
 
 # Jobs per on-device map step; the whole sweep is ONE dispatch with a
 # lax.map over chunks (chunk count bucketed to powers of two), because
-# per-dispatch latency on remote devices dwarfs the compute.
+# per-dispatch latency on remote devices dwarfs the compute. The NW scan
+# is 32 sequential row steps of ~10 small ops each, so the kernel is
+# op-latency bound: big chunks keep the op count low ([256k, 33] f32
+# rows are still comfortable HBM sizes). CPU tests keep small chunks —
+# the XLA CPU backend would otherwise chew 200MB vector ops per step.
 CHUNK_JOBS = 32768
+
+
+def _chunk_jobs() -> int:
+    return 32768 if jax.default_backend() == "cpu" else (1 << 18)
 
 # 4-bit sequence codes: the BAM nibble alphabet (every base a BAM or
 # FASTA can produce after .upper()) gets a distinct code, so comparing
@@ -289,7 +297,8 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
                    n_alleles_max: int) -> np.ndarray:
     """Pad one job partition into bucketed chunk shapes and run it."""
     N = len(q)
-    n_chunks = (N + CHUNK_JOBS - 1) // CHUNK_JOBS
+    chunk = _chunk_jobs()
+    n_chunks = (N + chunk - 1) // chunk
     # Bucket the chunk count (multiples of 8, power-of-two for small)
     # so few shapes compile while bounding padding waste.
     if n_chunks <= 8:
@@ -297,20 +306,25 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
     else:
         n_pad = ((n_chunks + 7) // 8) * 8
     n_pad = max(n_pad, 1)
-    total = n_pad * CHUNK_JOBS
+    total = n_pad * chunk
     q_all = np.zeros((total, WINDOW // 2), np.uint8)
     si_all = np.zeros(total, np.int32)
     q_all[:N] = q
     si_all[:N] = si
     return np.asarray(_nw_best_chunked(
-        jnp.asarray(q_all.reshape(n_pad, CHUNK_JOBS, WINDOW // 2)),
-        jnp.asarray(si_all.reshape(n_pad, CHUNK_JOBS)),
+        jnp.asarray(q_all.reshape(n_pad, chunk, WINDOW // 2)),
+        jnp.asarray(si_all.reshape(n_pad, chunk)),
         ref_tab, al_tab, nal_tab, n_alleles_max)).reshape(total)[:N]
 
 
 def flush_pool(pool: RealignPool) -> None:
+    import time as _time
+
+    from .. import timing as _timing
+
     if not pool._targets:
         return
+    _t = _time.time()
     q = np.concatenate(pool._q)
     si = np.concatenate(pool._si)
     nal = np.concatenate(pool._nal)
@@ -348,6 +362,8 @@ def flush_pool(pool: RealignPool) -> None:
             best = pre
             todo = pre < 0
     rest = np.nonzero(todo)[0]
+    _timing.add("realign.host_prep", _time.time() - _t)
+    _t = _time.time()
     # Biallelic sites (the vast majority) only need 2 NW problems per
     # job; run them as their own partition at half the compute.
     if len(rest):
@@ -359,6 +375,8 @@ def flush_pool(pool: RealignPool) -> None:
                 continue
             best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
                                        nal_d, a_max)
+    _timing.add("realign.device", _time.time() - _t)
+    _t = _time.time()
 
     off = 0
     for frag, snp_pos in pool._targets:
@@ -374,3 +392,4 @@ def flush_pool(pool: RealignPool) -> None:
     pool._tab_nal.clear()
     pool._tab_rows = 0
     pool._gen += 1
+    _timing.add("realign.scatter", _time.time() - _t)

@@ -64,6 +64,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
+    lib.floria_format_vartig_info.restype = ctypes.c_int64
+    lib.floria_format_vartig_info.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
     lib.floria_realign_exact.restype = ctypes.c_int64
     lib.floria_realign_exact.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -124,6 +133,29 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def format_vartig_info(left: int, gpos: np.ndarray, has: np.ndarray,
+                       bests: np.ndarray, cnt: np.ndarray,
+                       present: np.ndarray) -> Optional[bytes]:
+    """Render the vartig_info per-site lines; None without the native
+    lib (out/writers.py keeps the Python loop as the fallback/spec).
+    gpos entries < 0 render as NA."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    S, A = cnt.shape
+    cap = 64 * S + 28 * S * A + 1024
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.floria_format_vartig_info(
+        left, S, np.ascontiguousarray(gpos, np.int64),
+        np.ascontiguousarray(has, np.uint8),
+        np.ascontiguousarray(bests, np.int64),
+        np.ascontiguousarray(cnt, np.int64),
+        np.ascontiguousarray(present, np.uint8), A, buf, cap)
+    if n < 0:
+        return None
+    return buf.raw[:n]
 
 
 def realign_exact(q: np.ndarray, si: np.ndarray, nal: np.ndarray,

@@ -145,22 +145,33 @@ def _write_fragset_haplotypes(inf, frags, ids, name: str, out_dir: str,
     bests = counts.argmax(axis=1)
     cnt_int = np.round(counts).astype(np.int64)
     have_gpos = len(snp_to_genome_pos) > 0
-    out: List[str] = []
     A = constants.MAX_ALLELES
-    for s in range(right - left + 1):
-        pos = left + s
-        if have_gpos:
-            head = f"{pos}:{int(snp_to_genome_pos[pos - 1])}\t"
-        else:
-            head = f"{pos}:NA\t"
-        if not has[s]:
-            out.append(head + "?\tNA\t\n")
-        else:
-            row = counts[s]
-            entries = "|".join(f"{a}:{cnt_int[s, a]}"
-                               for a in range(A) if row[a] > 0)
-            out.append(f"{head}{bests[s]}\t{entries}\t\n")
-    inf.write("".join(out))
+    S = right - left + 1
+    if have_gpos:
+        gpos = np.asarray(snp_to_genome_pos[left - 1:right], np.int64)
+    else:
+        gpos = np.full(S, -1, np.int64)  # < 0 renders as NA
+    from .. import native
+    buf = native.format_vartig_info(left, gpos, has, bests, cnt_int,
+                                    counts > 0)
+    if buf is not None:
+        inf.write(buf.decode("ascii"))
+    else:
+        out: List[str] = []
+        for s in range(S):
+            pos = left + s
+            if have_gpos:
+                head = f"{pos}:{int(snp_to_genome_pos[pos - 1])}\t"
+            else:
+                head = f"{pos}:NA\t"
+            if not has[s]:
+                out.append(head + "?\tNA\t\n")
+            else:
+                row = counts[s]
+                entries = "|".join(f"{a}:{cnt_int[s, a]}"
+                                   for a in range(A) if row[a] > 0)
+                out.append(f"{head}{bests[s]}\t{entries}\t\n")
+        inf.write("".join(out))
     return np.where(has, bests, 15).tolist()
 
 

@@ -184,6 +184,55 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// Format vartig_info.txt per-site lines (file_writer.rs:308-369), byte-
+// identical to the Python f-string loop it accelerates:
+//   "{pos}:{gpos}\t{best}\t{a}:{cnt}|{a}:{cnt}\t\n"  (covered sites)
+//   "{pos}:{gpos}\t?\tNA\t\n"                        (uncovered)
+// gpos[i] < 0 prints "NA". Returns bytes written, or -1 if cap is too
+// small.
+int64_t floria_format_vartig_info(int64_t left, int64_t n_sites,
+                                  const int64_t* gpos, const uint8_t* has,
+                                  const int64_t* bests,
+                                  const int64_t* cnt,
+                                  const uint8_t* present, int32_t max_a,
+                                  char* out, int64_t cap) {
+    int64_t w = 0;
+    for (int64_t s = 0; s < n_sites; ++s) {
+        if (cap - w < 32 + 28 * static_cast<int64_t>(max_a)) return -1;
+        int64_t pos = left + s;
+        w += std::snprintf(out + w, 32, "%lld:",
+                           static_cast<long long>(pos));
+        if (gpos[s] >= 0)
+            w += std::snprintf(out + w, 24, "%lld",
+                               static_cast<long long>(gpos[s]));
+        else {
+            out[w++] = 'N';
+            out[w++] = 'A';
+        }
+        out[w++] = '\t';
+        if (!has[s]) {
+            std::memcpy(out + w, "?\tNA\t\n", 6);
+            w += 6;
+            continue;
+        }
+        w += std::snprintf(out + w, 24, "%lld",
+                           static_cast<long long>(bests[s]));
+        out[w++] = '\t';
+        bool first = true;
+        for (int32_t a = 0; a < max_a; ++a) {
+            if (!present[s * max_a + a]) continue;
+            if (!first) out[w++] = '|';
+            first = false;
+            w += std::snprintf(out + w, 28, "%d:%lld", a,
+                               static_cast<long long>(
+                                   cnt[s * max_a + a]));
+        }
+        out[w++] = '\t';
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // Resolve realignment jobs whose packed query window EXACTLY matches one
 // of the SNP's packed candidate-variant windows (reference window with
 // the allele substituted at the center). An exact match scores the
@@ -297,20 +346,36 @@ void floria_unpack_payloads(const uint8_t* data, const int64_t* rec_off,
                             const int64_t* out_off, int64_t n,
                             uint8_t* out_seq, uint8_t* out_qual) {
     static const char codes[17] = "=ACMGRSVTWYHKDBN";
-    for (int64_t i = 0; i < n; ++i) {
-        int32_t L = l_seq[i];
-        const uint8_t* src = data + rec_off[i] + 32 + l_read_name[i]
-                             + 4 * static_cast<int64_t>(n_cigar[i]);
-        const uint8_t* q = src + (L + 1) / 2;
-        uint8_t* ds = out_seq + out_off[i];
-        uint8_t* dq = out_qual + out_off[i];
-        for (int32_t j = 0; j < L; ++j) {
-            uint8_t b = src[j >> 1];
-            ds[j] = codes[(j & 1) ? (b & 0xF) : (b >> 4)];
-            int v = q[j] + 33;
-            dq[j] = v > 255 ? 255 : static_cast<uint8_t>(v);
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t L = l_seq[i];
+            const uint8_t* src = data + rec_off[i] + 32 + l_read_name[i]
+                                 + 4 * static_cast<int64_t>(n_cigar[i]);
+            const uint8_t* q = src + (L + 1) / 2;
+            uint8_t* ds = out_seq + out_off[i];
+            uint8_t* dq = out_qual + out_off[i];
+            for (int32_t j = 0; j < L; ++j) {
+                uint8_t b = src[j >> 1];
+                ds[j] = codes[(j & 1) ? (b & 0xF) : (b >> 4)];
+                int v = q[j] + 33;
+                dq[j] = v > 255 ? 255 : static_cast<uint8_t>(v);
+            }
         }
+    };
+    int n_threads = static_cast<int>(
+        std::thread::hardware_concurrency());
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n < 1024) {
+        work(0, n);
+        return;
     }
+    std::vector<std::thread> threads;
+    int64_t per = (n + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; ++t)
+        threads.emplace_back(work, per * t,
+                             std::min<int64_t>(n, per * (t + 1)));
+    work(0, std::min<int64_t>(n, per));
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"
