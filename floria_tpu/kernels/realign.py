@@ -301,10 +301,10 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
     n_chunks = (N + chunk - 1) // chunk
     # Bucket the chunk count (multiples of 8, power-of-two for small)
     # so few shapes compile while bounding padding waste.
-    if n_chunks <= 8:
+    if n_chunks <= 4:
         n_pad = 1 << max(0, (n_chunks - 1)).bit_length()
     else:
-        n_pad = ((n_chunks + 7) // 8) * 8
+        n_pad = ((n_chunks + 3) // 4) * 4
     n_pad = max(n_pad, 1)
     total = n_pad * chunk
     q_all = np.zeros((total, WINDOW // 2), np.uint8)
@@ -362,6 +362,17 @@ def flush_pool(pool: RealignPool) -> None:
             best = pre
             todo = pre < 0
     rest = np.nonzero(todo)[0]
+    # Dedup the surviving jobs: reads covering a SNP with identical
+    # windows are the same NW problem (ratio ~2x at long-read error
+    # rates). The unique representative's result is scattered back, so
+    # per-job outputs are unchanged.
+    rest_all = rest
+    inv = None
+    if len(rest):
+        dd = _native.dedup_jobs(q[rest], si[rest])
+        if dd is not None:
+            uniq_local, inv = dd
+            rest = rest[uniq_local]
     _timing.add("realign.host_prep", _time.time() - _t)
     _t = _time.time()
     # Biallelic sites (the vast majority) only need 2 NW problems per
@@ -375,6 +386,8 @@ def flush_pool(pool: RealignPool) -> None:
                 continue
             best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
                                        nal_d, a_max)
+    if inv is not None and len(rest_all):
+        best[rest_all] = best[rest][inv]
     _timing.add("realign.device", _time.time() - _t)
     _t = _time.time()
 

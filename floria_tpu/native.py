@@ -64,6 +64,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
+    lib.floria_dedup_jobs.restype = ctypes.c_int64
+    lib.floria_dedup_jobs.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     lib.floria_format_vartig_info.restype = ctypes.c_int64
     lib.floria_format_vartig_info.argtypes = [
         ctypes.c_int64, ctypes.c_int64,
@@ -133,6 +140,22 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def dedup_jobs(q: np.ndarray, si: np.ndarray
+               ) -> Optional[tuple]:
+    """(uniq_idx, inverse) for realignment jobs keyed by (window, SNP
+    row); None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, w2 = q.shape
+    uniq_idx = np.empty(n, np.int64)
+    inverse = np.empty(n, np.int64)
+    n_uniq = lib.floria_dedup_jobs(
+        np.ascontiguousarray(q), np.ascontiguousarray(si, np.int32),
+        n, w2, uniq_idx, inverse)
+    return uniq_idx[:n_uniq], inverse
 
 
 def format_vartig_info(left: int, gpos: np.ndarray, has: np.ndarray,

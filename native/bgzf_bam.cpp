@@ -184,6 +184,50 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// Deduplicate realignment jobs by (packed window, SNP row): reads
+// covering the same SNP with identical (error-free) windows are the
+// same NW problem. Open-addressing hash over the 20-byte keys; fills
+// inverse[i] = dense unique index and uniq_idx[u] = a representative
+// job index. Returns the unique count.
+int64_t floria_dedup_jobs(const uint8_t* q, const int32_t* si, int64_t n,
+                          int32_t w2, int64_t* uniq_idx,
+                          int64_t* inverse) {
+    int64_t cap = 1;
+    while (cap < 2 * n) cap <<= 1;
+    std::vector<int64_t> table(cap, -1);
+    int64_t n_uniq = 0;
+    const uint64_t mul = 0x9E3779B97F4A7C15ULL;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* key = q + i * w2;
+        uint64_t h = static_cast<uint64_t>(si[i]) * mul;
+        for (int32_t j = 0; j + 8 <= w2; j += 8) {
+            uint64_t v;
+            std::memcpy(&v, key + j, 8);
+            h = (h ^ v) * mul;
+        }
+        h ^= h >> 29;
+        int64_t slot = static_cast<int64_t>(h & (cap - 1));
+        for (;;) {
+            int64_t u = table[slot];
+            if (u < 0) {
+                table[slot] = n_uniq;
+                uniq_idx[n_uniq] = i;
+                inverse[i] = n_uniq;
+                ++n_uniq;
+                break;
+            }
+            int64_t rep = uniq_idx[u];
+            if (si[rep] == si[i]
+                && std::memcmp(q + rep * w2, key, w2) == 0) {
+                inverse[i] = u;
+                break;
+            }
+            slot = (slot + 1) & (cap - 1);
+        }
+    }
+    return n_uniq;
+}
+
 // Format vartig_info.txt per-site lines (file_writer.rs:308-369), byte-
 // identical to the Python f-string loop it accelerates:
 //   "{pos}:{gpos}\t{best}\t{a}:{cnt}|{a}:{cnt}\t\n"  (covered sites)
