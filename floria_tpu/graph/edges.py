@@ -78,16 +78,24 @@ def _link_blocks_vectorized(block1: List[HapNode],
     al = alleles[sel]
     w = weights[sel]
     ridx = ridx[sel]
-    diffs = np.zeros((len(fids), n2), dtype=np.int64)
-    for l, node2 in enumerate(block2):
-        has_key = node2.exist[cols].sum(axis=-1) > 0
-        at = node2.counts[cols, al]
-        at_exists = node2.exist[cols, al] > 0
-        maxc = node2.counts[cols].max(axis=-1)
-        dm = has_key & ~(at_exists & (at == maxc))
-        contrib = np.where(dm, w.astype(np.float64), 0.0)
-        sums = np.bincount(ridx, weights=contrib, minlength=len(fids))
-        diffs[:, l] = np.round(sums).astype(np.int64)
+    F = len(fids)
+    # One pass over all block2 nodes (they share snp_endpoints, so the
+    # count windows stack): [n2, n_sites] masks, then a single flat
+    # bincount. Bin accumulation order per (node, read) matches the
+    # per-node loop it replaces, so sums are bit-identical.
+    counts2 = np.stack([n.counts for n in block2])   # [n2, S2, A]
+    exist2 = np.stack([n.exist for n in block2])
+    has_key = exist2[:, cols].sum(axis=-1) > 0       # [n2, n]
+    at = counts2[:, cols, al]
+    at_exists = exist2[:, cols, al] > 0
+    maxc = counts2[:, cols].max(axis=-1)
+    dm = has_key & ~(at_exists & (at == maxc))
+    contrib = np.where(dm, w.astype(np.float64)[None, :], 0.0)
+    flat = (np.arange(n2, dtype=np.int64)[:, None] * F
+            + ridx[None, :]).ravel()
+    sums = np.bincount(flat, weights=contrib.ravel(),
+                       minlength=n2 * F).reshape(n2, F)
+    diffs = np.round(sums).astype(np.int64).T
     if n2 > 1:
         top2 = np.partition(diffs, 1, axis=1)[:, :2]
         unambig = top2[:, 0] != top2[:, 1]

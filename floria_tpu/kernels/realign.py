@@ -120,43 +120,50 @@ def _nw_best_chunked(q3p: jax.Array, si3: jax.Array, ref_tab: jax.Array,
 @jax.jit
 def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
     """Global affine-gap alignment scores for a batch of equal-length
-    sequence pairs. q, r: [N, W] uint8. Returns [N] float32."""
+    sequence pairs. q, r: [N, W] uint8. Returns [N] float32.
+
+    State lives TRANSPOSED as [W+1, N]: the batch axis goes on TPU
+    lanes (128-wide, fully used at these N) instead of wasting 3/4 of
+    each vector register on a 33-long minor axis. Same math, same
+    float-op order — results are bit-identical to the row-major form.
+    """
     N, W = q.shape
-    jcols = jnp.arange(W + 1, dtype=jnp.float32)
+    jcols = jnp.arange(W + 1, dtype=jnp.float32)[:, None]  # [W+1, 1]
 
     # Boundary row i=0: only gaps along the reference.
-    m0 = jnp.where(jnp.arange(W + 1) == 0, 0.0, NEG)
-    iy0 = jnp.where(jnp.arange(W + 1) == 0, NEG,
-                    GAP_OPEN + GAP_EXTEND * (jcols - 1.0))
-    ix0 = jnp.full(W + 1, NEG)
-    m0 = jnp.broadcast_to(m0, (N, W + 1))
-    iy0 = jnp.broadcast_to(iy0, (N, W + 1))
-    ix0 = jnp.broadcast_to(ix0, (N, W + 1))
+    col0 = jnp.arange(W + 1)[:, None] == 0
+    m0 = jnp.broadcast_to(jnp.where(col0, 0.0, NEG), (W + 1, N))
+    iy0 = jnp.broadcast_to(
+        jnp.where(col0, NEG, GAP_OPEN + GAP_EXTEND * (jcols - 1.0)),
+        (W + 1, N))
+    ix0 = jnp.full((W + 1, N), NEG)
+
+    r_t = r.T  # [W, N]
 
     def row_step(carry, qi_and_i):
         m_prev, ix_prev, iy_prev = carry
         q_i, i = qi_and_i
         h_prev = jnp.maximum(jnp.maximum(m_prev, ix_prev), iy_prev)
-        sub = jnp.where(q_i[:, None] == r, MATCH, MISMATCH)  # [N, W]
+        sub = jnp.where(q_i[None, :] == r_t, MATCH, MISMATCH)  # [W, N]
         m = jnp.concatenate(
-            [jnp.full((N, 1), NEG), h_prev[:, :-1] + sub], axis=1)
+            [jnp.full((1, N), NEG), h_prev[:-1] + sub], axis=0)
         ix = jnp.maximum(m_prev + GAP_OPEN, ix_prev + GAP_EXTEND)
-        ix = ix.at[:, 0].set(GAP_OPEN + GAP_EXTEND * i.astype(
+        ix = ix.at[0, :].set(GAP_OPEN + GAP_EXTEND * i.astype(
             jnp.float32))
         # Iy via max-plus prefix: Iy[j] = e*j + cummax_{k<j}(M[k]+o-e(k+1))
         base = m + GAP_OPEN - GAP_EXTEND * (jcols + 1.0)
         base = jnp.maximum(base, ix + GAP_OPEN - GAP_EXTEND * (jcols
                                                                + 1.0))
-        cm = jax.lax.cummax(base, axis=1)
+        cm = jax.lax.cummax(base, axis=0)
         iy = jnp.concatenate(
-            [jnp.full((N, 1), NEG),
-             cm[:, :-1] + GAP_EXTEND * jcols[None, 1:]], axis=1)
+            [jnp.full((1, N), NEG),
+             cm[:-1] + GAP_EXTEND * jcols[1:]], axis=0)
         return (m, ix, iy), None
 
     qi = q.astype(jnp.int32).T  # [W, N]
     ii = jnp.arange(W, dtype=jnp.int32)
     (m, ix, iy), _ = jax.lax.scan(row_step, (m0, ix0, iy0), (qi, ii))
-    return jnp.maximum(jnp.maximum(m[:, -1], ix[:, -1]), iy[:, -1])
+    return jnp.maximum(jnp.maximum(m[-1], ix[-1]), iy[-1])
 
 
 _OFFSETS = np.arange(-FLANK, FLANK)
