@@ -104,6 +104,22 @@ def _sweep_decide(mec_vector: np.ndarray, expected_errors: np.ndarray,
 
 # --- shape bucketing -------------------------------------------------------
 
+def _parallel_launch(fn, items: list) -> list:
+    """Run per-shape-group device launches from a small thread pool.
+
+    The first call of each (function, shape) variant blocks on trace +
+    executable-deserialize (~1s each against the remote backend); a pool
+    overlaps those while on-chip execution serializes regardless. Falls
+    back to the plain loop for a single group. jit dispatch is
+    thread-safe, results are per-group, so outputs are unchanged."""
+    if len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+        return list(pool.map(fn, items))
+
+
 def _bucket_reads(r: int) -> int:
     """Power-of-two below 128, then 64-multiples: every padding read row
     costs a full (wasted) scan step, so tighter buckets beat fewer
@@ -325,9 +341,10 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
 
     # One device dispatch per shape group runs the whole <=20-iteration
     # hill-climb on device (no per-iteration host round trips); launch
-    # every group async before pulling any result.
-    pending = []
-    for (ploidy, r_pad, s_pad), members in groups.items():
+    # every group async before pulling any result, with first-call
+    # trace/deserialize parallelized across a small thread pool.
+    def _launch(item):
+        (ploidy, r_pad, s_pad), members = item
         G = len(members)
         assigns = np.zeros((G, r_pad), dtype=np.int32)
         nreads = np.zeros(G, dtype=np.int32)
@@ -340,7 +357,9 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
             (r_pad, s_pad), [j for j, _bt in members])
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
-        pending.append((members, ploidy, best, mec))
+        return members, ploidy, best, mec
+
+    pending = _parallel_launch(_launch, list(groups.items()))
 
     for _m, _p, best, mec in pending:
         for a in (best, mec):
@@ -385,8 +404,9 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
     # gathered per ploidy on device — the link moves each read once per
     # contig group, not once per ploidy per stage).
     max_ploidy = max(ploidies) if ploidies else 1
-    pending = []
-    for (r_pad, s_pad), members in groups.items():
+
+    def _launch(item):
+        (r_pad, s_pad), members = item
         G = len(members)
         nreads = np.zeros(G, dtype=np.int32)
         nparts = np.ones(G, dtype=np.int32)
@@ -415,10 +435,17 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
         # instead of six traceback-record arrays (per-array round trips
         # over the remote link dominated this stage).
         assigns = beam_kernel.traceback_batch(tuple(result))
-        pending.append((members, assigns))
         logging.getLogger("floria_tpu").debug(
             "beam group r_pad=%d s_pad=%d G=%d window=%d", r_pad, s_pad,
             G, window)
+        return members, assigns
+
+    # Launch groups from a small thread pool: each group's FIRST call
+    # pays trace + executable-deserialize (~1s each on the remote
+    # backend) which parallelizes across threads; device execution
+    # serializes on-chip regardless. Results are per-group and
+    # deterministic, so launch order doesn't affect outputs.
+    pending = _parallel_launch(_launch, list(groups.items()))
 
     out: Dict[Tuple[int, int], np.ndarray] = {}
     pull_t = time.time()

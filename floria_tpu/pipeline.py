@@ -67,9 +67,25 @@ class _ContigState:
     debug_dir: Optional[str]
 
 
+def _warm_imports() -> None:
+    """Pre-import scipy's LP stack on a daemon thread: the first linprog
+    otherwise pays ~1.2s of import inside the timed join stage."""
+    import threading
+
+    def _load():
+        try:
+            from scipy import sparse  # noqa: F401
+            from scipy.optimize import linprog  # noqa: F401
+        except Exception:
+            pass
+
+    threading.Thread(target=_load, daemon=True).start()
+
+
 def run(options: Options) -> None:
     options.validate()
     timing.reset()
+    _warm_imports()
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
@@ -237,7 +253,10 @@ def _finish_contig(st: _ContigState, results: List[LocalBlockResult],
             block_nodes.append(node)
         hap_graph.append(block_nodes)
     assign_ids(hap_graph)
+    nodes_t = time.time()
+    timing.add("join.hap_graph.nodes", nodes_t - graph_t)
     update_hap_graph(hap_graph, final_frags, csr=csr)
+    timing.add("join.hap_graph.edges", time.time() - nodes_t)
     timing.add("join.hap_graph", time.time() - graph_t)
 
     lp_t = time.time()
