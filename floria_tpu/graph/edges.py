@@ -72,12 +72,8 @@ def _link_blocks_vectorized(block1: List[HapNode],
     if len(fids) == 0:
         return
     lo, hi = block2[0].snp_endpoints
-    snps, alleles, weights, ridx = csr.gather(fids)
-    sel = (snps >= lo) & (snps <= hi)
-    cols = snps[sel] - lo
-    al = alleles[sel]
-    w = weights[sel]
-    ridx = ridx[sel]
+    snps, al, w, ridx = csr.gather_range(fids, lo, hi)
+    cols = snps - lo
     F = len(fids)
     # One pass over all block2 nodes (they share snp_endpoints, so the
     # count windows stack): [n2, n_sites] masks, then a single flat

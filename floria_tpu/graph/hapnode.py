@@ -79,6 +79,23 @@ class FragCsr:
         return (self.snps[idx], self.alleles[idx], self.weights[idx],
                 ridx)
 
+    def gather_range(self, fids: np.ndarray, lo: int, hi: int):
+        """gather() restricted to SNPs in [lo, hi]: same rows in the
+        same (frag order, ascending SNP) order, but the out-of-range
+        sites are never materialized (native binary-search slice copy;
+        numpy mask fallback)."""
+        from .. import native
+
+        fids = np.asarray(fids, dtype=np.int64)
+        out = native.csr_gather_range(self.snps, self.alleles,
+                                      self.weights, self.off, fids,
+                                      int(lo), int(hi))
+        if out is not None:
+            return out
+        snps, alleles, weights, ridx = self.gather(fids)
+        sel = (snps >= lo) & (snps <= hi)
+        return snps[sel], alleles[sel], weights[sel], ridx[sel]
+
     def window_counts(self, fids: np.ndarray, lo: int, hi: int,
                       weighted: bool) -> np.ndarray:
         """[hi-lo+1, A] float64 allele counts over the given frags
@@ -89,14 +106,13 @@ class FragCsr:
 
         A = constants.MAX_ALLELES
         S = hi - lo + 1
-        snps, alleles, weights, _r = self.gather(fids)
-        sel = (snps >= lo) & (snps <= hi)
-        flat = (snps[sel] - lo) * A + alleles[sel]
+        snps, alleles, weights, _r = self.gather_range(fids, lo, hi)
+        flat = (snps - lo) * A + alleles
         # bincount accumulates in element order like np.add.at (both walk
         # the input sequentially), so the float result is bit-identical —
         # at ~20x the speed.
         if weighted:
-            counts = np.bincount(flat, weights=weights[sel],
+            counts = np.bincount(flat, weights=weights,
                                  minlength=S * A)
         else:
             counts = np.bincount(flat, minlength=S * A).astype(np.float64)
@@ -129,13 +145,12 @@ def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
     counts = np.zeros((S, A), dtype=np.float64)
     exist = np.zeros((S, A), dtype=np.int32)
     if csr is not None:
-        snps, alleles, weights, _r = csr.gather(frag_ids)
-        sel = (snps >= lo) & (snps <= hi)
+        snps, alleles, weights, _r = csr.gather_range(frag_ids, lo, hi)
         # bincount accumulates in element order = (frag order, ascending
         # SNP) — the same sequence as the per-frag loop below, so floats
         # are bit-identical.
-        flat = (snps[sel] - lo) * A + alleles[sel]
-        counts = np.bincount(flat, weights=weights[sel],
+        flat = (snps - lo) * A + alleles
+        counts = np.bincount(flat, weights=weights,
                              minlength=S * A).reshape(S, A)
         exist = np.bincount(flat, minlength=S * A).astype(
             np.int32).reshape(S, A)

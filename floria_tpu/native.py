@@ -64,6 +64,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
+    lib.floria_csr_gather_range.restype = ctypes.c_int64
+    lib.floria_csr_gather_range.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
     lib.floria_dedup_jobs.restype = ctypes.c_int64
     lib.floria_dedup_jobs.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -140,6 +152,29 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
     if got != size:
         return None
     return out.raw
+
+
+def csr_gather_range(snps: np.ndarray, alleles: np.ndarray,
+                     weights: np.ndarray, off: np.ndarray,
+                     fids: np.ndarray, lo: int, hi: int
+                     ) -> Optional[tuple]:
+    """(snps, alleles, weights, ridx) of the in-range [lo, hi] sites of
+    the given frags, concatenated in frag order; None without the native
+    lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fids = np.ascontiguousarray(fids, np.int64)
+    lens = off[fids + 1] - off[fids]
+    cap = int(lens.sum())
+    out_s = np.empty(cap, np.int64)
+    out_a = np.empty(cap, np.int64)
+    out_w = np.empty(cap, np.float32)
+    out_r = np.empty(cap, np.int64)
+    n = lib.floria_csr_gather_range(snps, alleles, weights, off, fids,
+                                    len(fids), lo, hi, out_s, out_a,
+                                    out_w, out_r)
+    return out_s[:n], out_a[:n], out_w[:n], out_r[:n]
 
 
 def dedup_jobs(q: np.ndarray, si: np.ndarray

@@ -70,7 +70,7 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
         A = constants.MAX_ALLELES
         S = hi - lo + 1
         covered = np.zeros(S, dtype=bool)
-        snps, alleles, weights, _r = csr.gather(fids)
+        snps, alleles, weights, _r = csr.gather_range(fids, lo, hi)
         # bincount == np.add.at bit-for-bit (both accumulate in element
         # order), ~20x faster.
         acc = np.bincount((snps - lo) * A + alleles, weights=weights,
