@@ -75,9 +75,95 @@ class VcfProfile:
                 for name, cv in self.contigs.items()}
 
 
+def _read_vcf_native(data: bytes, restrict) -> "VcfProfile":
+    """Native single-pass SNP scan (same record filter as the Python
+    loop below, which stays as the spec/fallback); None without the
+    C++ runtime."""
+    from .. import constants, native
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "floria_parse_vcf"):
+        return None
+    import ctypes
+
+    lib.floria_parse_vcf.restype = ctypes.c_int64
+    lib.floria_parse_vcf.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64] + [ctypes.c_void_p] * 9
+    i64 = ctypes.c_int64
+    runs, abytes, nbytes = i64(0), i64(0), i64(0)
+    n = lib.floria_parse_vcf(data, len(data), ctypes.byref(runs),
+                             ctypes.byref(abytes), ctypes.byref(nbytes),
+                             None, None, None, None, None, None)
+    if n < 0:
+        return None
+    pos = np.empty(n, np.int64)
+    allele_buf = np.empty(int(abytes.value), np.uint8)
+    allele_end = np.empty(n, np.int64)
+    run_id = np.empty(n, np.int32)
+    name_buf = np.empty(int(nbytes.value), np.uint8)
+    name_end = np.empty(int(runs.value), np.int64)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    lib.floria_parse_vcf(data, len(data), ctypes.byref(runs),
+                         ctypes.byref(abytes), ctypes.byref(nbytes),
+                         p(pos), p(allele_buf), p(allele_end), p(run_id),
+                         p(name_buf), p(name_end))
+    names = []
+    prev = 0
+    raw = name_buf.tobytes()
+    for e in name_end:
+        names.append(raw[prev:int(e)].decode())
+        prev = int(e)
+    al_raw = allele_buf.tobytes()
+    allele_start = np.concatenate(([0], allele_end[:-1]))
+
+    by_contig: Dict[str, List[int]] = {}
+    for r, name in enumerate(names):
+        if restrict is not None and name not in restrict:
+            continue
+        by_contig.setdefault(name, []).append(r)
+    contigs = {}
+    for name, rids in by_contig.items():
+        sel = np.isin(run_id, np.asarray(rids, np.int32))
+        gp = pos[sel]
+        st = allele_start[sel]
+        en = allele_end[sel]
+        als = [al_raw[int(a):int(b)] for a, b in zip(st, en)]
+        cv = ContigVcf(
+            genome_pos=gp,
+            pos_allele_map=dict(zip((int(x) for x in gp), als)),
+            pos_to_snp={int(x): i + 1 for i, x in enumerate(gp)})
+        lens = en - st
+        A = constants.MAX_ALLELES
+        if len(gp) and lens.max() <= A:
+            mat = np.zeros((len(gp), A), np.uint8)
+            cols = np.arange(int(lens.max()))
+            mask = cols[None, :] < lens[:, None]
+            flat_idx = (st[:, None] + cols[None, :])[mask]
+            mat[np.broadcast_to(
+                np.arange(len(gp))[:, None], mask.shape)[mask],
+                np.broadcast_to(cols[None, :], mask.shape)[mask]] = \
+                allele_buf[flat_idx]
+            if len(np.unique(gp)) != len(gp):
+                # duplicate positions: the dict is last-wins; mirror it
+                for i, x in enumerate(gp):
+                    a = cv.pos_allele_map[int(x)]
+                    row = np.zeros(A, np.uint8)
+                    row[:len(a)] = np.frombuffer(a, np.uint8)
+                    mat[i] = row
+            cv._allele_matrix_cache = mat
+        contigs[name] = cv
+    return VcfProfile(contigs)
+
+
 def read_vcf(path: str, ref_chroms: List[str] = None) -> VcfProfile:
     data = bgzf.read_file(path)
     restrict = set(ref_chroms) if ref_chroms is not None else None
+    fast = _read_vcf_native(data, restrict)
+    if fast is not None:
+        return fast
     per_contig_pos: Dict[str, List[int]] = {}
     per_contig_alleles: Dict[str, Dict[int, bytes]] = {}
     warned = False

@@ -355,6 +355,9 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
         eps = np.full(G, options.epsilon, dtype=np.float32)
         alleles, weights = cache.gather(
             (r_pad, s_pad), [j for j, _bt in members])
+        from .. import constants, warmup
+        warmup.record("upem", (G, r_pad, s_pad, ploidy,
+                               constants.MAX_ALLELES))
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
         return members, ploidy, best, mec
@@ -485,6 +488,10 @@ def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
                                    window=window)
     # Device arrays returned as-is; callers pull them after launching
     # every group (async dispatch).
+    from .. import constants, warmup
+    G, R, S = alleles.shape
+    warmup.record("beam_mixed", (G, R, S, max_ploidy, beam_width,
+                                 constants.MAX_ALLELES, window, True))
     return tuple(beam_kernel.beam_search_batch_mixed(
         alleles, weights, nreads, eps, nparts, max_ploidy, beam_width,
         window=window))

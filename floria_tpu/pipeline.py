@@ -86,6 +86,8 @@ def run(options: Options) -> None:
     options.validate()
     timing.reset()
     _warm_imports()
+    from . import warmup
+    warmup.start()
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
@@ -135,6 +137,7 @@ def run(options: Options) -> None:
                     log.exception(
                         "Contig %s failed; --keep-going continues.",
                         contig)
+    warmup.save()
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 

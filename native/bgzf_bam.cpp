@@ -198,6 +198,111 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// VCF SNP scan (file_reader.rs:116-181 semantics, matching
+// ingest/vcf.py::read_vcf): for each non-header line, keep records
+// whose REF and every comma-separated ALT are single bases in
+// [ACGTacgt] (case preserved in the stored allele bytes). Emits flat
+// arrays: pos (0-based), per-record allele bytes (concatenated, with
+// end offsets), and a contig RUN id that increments whenever CHROM
+// differs from the previous kept record's CHROM; run names are
+// concatenated into name_buf with end offsets. Two-pass: with null
+// outputs only counts (returns n_records; *n_runs_out = runs,
+// *n_allele_bytes_out = total allele bytes, *n_name_bytes_out = total
+// run-name bytes).
+int64_t floria_parse_vcf(const uint8_t* data, int64_t len,
+                         int64_t* n_runs_out,
+                         int64_t* n_allele_bytes_out,
+                         int64_t* n_name_bytes_out, int64_t* pos_out,
+                         uint8_t* allele_buf, int64_t* allele_end,
+                         int32_t* run_id, uint8_t* name_buf,
+                         int64_t* name_end) {
+    auto is_base = [](uint8_t c) {
+        switch (c) {
+            case 'A': case 'C': case 'G': case 'T':
+            case 'a': case 'c': case 'g': case 't': return true;
+            default: return false;
+        }
+    };
+    bool counting = pos_out == nullptr;
+    int64_t n = 0, runs = 0, abytes = 0, nbytes = 0;
+    const uint8_t* prev_chrom = nullptr;
+    int64_t prev_chrom_len = -1;
+    int64_t i = 0;
+    while (i < len) {
+        int64_t eol = i;
+        while (eol < len && data[eol] != '\n') ++eol;
+        int64_t ll = eol - i;
+        if (ll > 0 && data[i] != '#') {
+            // fields: CHROM \t POS \t ID \t REF \t ALT \t ...
+            int64_t f[6];
+            int nf = 0;
+            f[nf++] = i;
+            for (int64_t j = i; j < eol && nf < 6; ++j)
+                if (data[j] == '\t') f[nf++] = j + 1;
+            if (nf >= 5) {
+                const uint8_t* chrom = data + f[0];
+                int64_t chrom_len = f[1] - 1 - f[0];
+                int64_t ref_len = f[4] - 1 - f[3];
+                int64_t alt_end = (nf == 6 ? f[5] - 1 : eol);
+                bool ok = ref_len == 1 && is_base(data[f[3]]);
+                uint8_t albuf[64];
+                int na = 0;
+                if (ok) {
+                    albuf[na++] = data[f[3]];
+                    int64_t a = f[4];
+                    while (ok && a < alt_end) {
+                        int64_t b = a;
+                        while (b < alt_end && data[b] != ',') ++b;
+                        if (b - a != 1 || !is_base(data[a]) || na >= 64)
+                            ok = false;
+                        else
+                            albuf[na++] = data[a];
+                        a = b + 1;
+                    }
+                }
+                if (ok) {
+                    int64_t pos = 0;
+                    for (int64_t j = f[1]; j < f[2] - 1; ++j) {
+                        uint8_t c = data[j];
+                        if (c < '0' || c > '9') { pos = -1; break; }
+                        pos = pos * 10 + (c - '0');
+                    }
+                    if (pos > 0) {
+                        bool new_run = prev_chrom == nullptr
+                            || chrom_len != prev_chrom_len
+                            || std::memcmp(chrom, prev_chrom,
+                                           chrom_len) != 0;
+                        if (new_run) {
+                            if (!counting) {
+                                std::memcpy(name_buf + nbytes, chrom,
+                                            chrom_len);
+                                name_end[runs] = nbytes + chrom_len;
+                            }
+                            nbytes += chrom_len;
+                            ++runs;
+                            prev_chrom = chrom;
+                            prev_chrom_len = chrom_len;
+                        }
+                        if (!counting) {
+                            pos_out[n] = pos - 1;  // VCF POS is 1-based
+                            std::memcpy(allele_buf + abytes, albuf, na);
+                            allele_end[n] = abytes + na;
+                            run_id[n] = static_cast<int32_t>(runs - 1);
+                        }
+                        abytes += na;
+                        ++n;
+                    }
+                }
+            }
+        }
+        i = eol + 1;
+    }
+    if (n_runs_out) *n_runs_out = runs;
+    if (n_allele_bytes_out) *n_allele_bytes_out = abytes;
+    if (n_name_bytes_out) *n_name_bytes_out = nbytes;
+    return n;
+}
+
 // Range-restricted CSR gather: for each fragment id, binary-search its
 // ascending SNP segment for [lo, hi] and copy only the in-range rows
 // (snp, allele, weight, frag-row). Replaces gather-everything-then-mask
