@@ -368,11 +368,15 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
         for a in (best, mec):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
+    # Concurrent pulls: each device->host sync pays ~0.1s of link
+    # latency regardless of size; a pool overlaps them.
+    flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
+    hosts = _parallel_launch(np.asarray, flat)
     refined: Dict[Tuple[int, int], np.ndarray] = {}
     stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
-    for members, ploidy, best, mec in pending:
-        best = np.asarray(best)
-        mec = np.asarray(mec)
+    for i, (members, ploidy, _b, _m2) in enumerate(pending):
+        best = hosts[2 * i]
+        mec = hosts[2 * i + 1]
         for g, (j, bt) in enumerate(members):
             refined[(j, ploidy)] = best[g, :bt.num_reads]
             stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))
@@ -455,13 +459,8 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
     for _m, assigns in pending:
         if hasattr(assigns, "copy_to_host_async"):
             assigns.copy_to_host_async()
-    hosts = []
-    _log = logging.getLogger("floria_tpu")
-    for _m, assigns in pending:
-        t = time.time()
-        hosts.append(np.asarray(assigns))
-        _log.debug("beam group pull %s in %.3fs", assigns.shape,
-                   time.time() - t)
+    hosts = _parallel_launch(np.asarray,
+                             [assigns for _m, assigns in pending])
     timing.add("beam.pull", time.time() - pull_t)
     tb_t = time.time()
     for (members, _assigns), host in zip(pending, hosts):

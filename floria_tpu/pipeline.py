@@ -86,8 +86,6 @@ def run(options: Options) -> None:
     options.validate()
     timing.reset()
     _warm_imports()
-    from . import warmup
-    warmup.start()
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
@@ -169,6 +167,11 @@ def _run_group(group: List[str], main_bam, short_bam,
         timing.add("ingest.collect", time.time() - col_t)
         collected.append((contig, contig_out_dir, cv, ref_seq, id_map))
     if pool is not None:
+        # Warm the beam/upem jit variants while the main thread is
+        # blocked on the realign device sweep (GIL mostly free); nw is
+        # excluded — its variants are being compiled for real right now.
+        from . import warmup
+        warmup.start(skip_kinds=("nw",))
         flush_t = time.time()
         flush_pool(pool)
         timing.add("realign_dispatch", time.time() - flush_t)

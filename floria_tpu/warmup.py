@@ -125,8 +125,16 @@ def _compile_one(kind: str, spec: Tuple) -> None:
         raise ValueError(kind)
 
 
-def start() -> None:
-    """Kick off background pre-compilation of the hinted variants."""
+def start(skip_kinds=()) -> None:
+    """Kick off background pre-compilation of the hinted variants.
+
+    Call this where the main thread is about to block on device work
+    (the realign flush), NOT at process start: jit tracing is
+    GIL-bound Python, and a warm thread running during the host-heavy
+    ingest stage was measured to slow ingest by more than the warmup
+    saved. During device waits the GIL is free and the trace rides
+    along. skip_kinds drops hints the caller is about to compile for
+    real (avoids duplicate concurrent compiles of the same variant)."""
     global _started
     if _started:
         return
@@ -143,7 +151,8 @@ def start() -> None:
         return
     try:
         with open(path) as fh:
-            hints = [(k, tuple(s)) for k, s in json.load(fh)]
+            hints = [(k, tuple(s)) for k, s in json.load(fh)
+                     if k not in skip_kinds]
     except Exception:
         return
 
