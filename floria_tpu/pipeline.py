@@ -135,6 +135,7 @@ def run(options: Options) -> None:
                     log.exception(
                         "Contig %s failed; --keep-going continues.",
                         contig)
+    from . import warmup
     warmup.save()
     log.info("Total time taken is %.2fs", time.time() - t0)
 
