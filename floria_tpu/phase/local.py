@@ -345,18 +345,21 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     # trace/deserialize parallelized across a small thread pool.
     def _launch(item):
         (ploidy, r_pad, s_pad), members = item
+        # pow2-bucketed batch dim, same as phase_instances.
         G = len(members)
-        assigns = np.zeros((G, r_pad), dtype=np.int32)
-        nreads = np.zeros(G, dtype=np.int32)
+        G_pad = 1 << max(0, (G - 1)).bit_length()
+        assigns = np.zeros((G_pad, r_pad), dtype=np.int32)
+        nreads = np.zeros(G_pad, dtype=np.int32)
         for g, (j, bt) in enumerate(members):
             nreads[g] = bt.num_reads
             if ploidy > 1:
                 assigns[g, :bt.num_reads] = assignments[(j, ploidy)]
-        eps = np.full(G, options.epsilon, dtype=np.float32)
-        alleles, weights = cache.gather(
-            (r_pad, s_pad), [j for j, _bt in members])
+        eps = np.full(G_pad, options.epsilon, dtype=np.float32)
+        ids = [j for j, _bt in members]
+        ids += [ids[0]] * (G_pad - G)
+        alleles, weights = cache.gather((r_pad, s_pad), ids)
         from .. import constants, warmup
-        warmup.record("upem", (G, r_pad, s_pad, ploidy,
+        warmup.record("upem", (G_pad, r_pad, s_pad, ploidy,
                                constants.MAX_ALLELES))
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
@@ -414,17 +417,26 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
 
     def _launch(item):
         (r_pad, s_pad), members = item
+        # Bucket the batch dim to pow2: instance counts drift run to
+        # run and level to level, and each distinct G is a fresh jit
+        # variant (~1s trace+deserialize cold). Padding instances are
+        # masked (no reads, 1 part) and their outputs discarded.
         G = len(members)
-        nreads = np.zeros(G, dtype=np.int32)
-        nparts = np.ones(G, dtype=np.int32)
+        G_pad = 1 << max(0, (G - 1)).bit_length()
+        nreads = np.zeros(G_pad, dtype=np.int32)
+        # Padding instances take a real member's ploidy (not 1) so they
+        # stay on the kernel's well-tested mixed-ploidy paths; with 0
+        # reads they are pure masked compute either way.
+        nparts = np.full(G_pad, members[0][0], dtype=np.int32)
         max_span = 0
         for g, (ploidy, _j, bt) in enumerate(members):
             nreads[g] = bt.num_reads
             nparts[g] = ploidy
             max_span = max(max_span, bt.max_read_span())
-        eps = np.full(G, options.epsilon, dtype=np.float32)
-        alleles, weights = cache.gather(
-            (r_pad, s_pad), [j for _p, j, _bt in members])
+        eps = np.full(G_pad, options.epsilon, dtype=np.float32)
+        ids = [j for _p, j, _bt in members]
+        ids += [ids[0]] * (G_pad - G)
+        alleles, weights = cache.gather((r_pad, s_pad), ids)
         # Sliding compute window: columns behind the sorted-read frontier
         # are never read again, so per-step work scales with the max read
         # span instead of the block width. Coarsely bucketed to limit
