@@ -47,11 +47,15 @@ from ..ingest.vcf import ContigVcf
 
 FLANK = 16
 WINDOW = 2 * FLANK
-GAP_OPEN = -2.0
-GAP_EXTEND = -1.0
-MATCH = 1.0
-MISMATCH = -1.0
-NEG = -1e9
+GAP_OPEN = -2
+GAP_EXTEND = -1
+MATCH = 1
+MISMATCH = -1
+# All NW scores are small integers (|score| <= ~100 at W=32), so the DP
+# runs in int16 — half the HBM traffic of f32 with bit-identical
+# argmax. The -inf sentinel only needs to undercut every real score
+# while leaving headroom for the few additive constants applied to it.
+NEG = -16384
 
 # Jobs per on-device map step; the whole sweep is ONE dispatch with a
 # lax.map over chunks (chunk count bucketed to powers of two), because
@@ -124,19 +128,22 @@ def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
 
     State lives TRANSPOSED as [W+1, N]: the batch axis goes on TPU
     lanes (128-wide, fully used at these N) instead of wasting 3/4 of
-    each vector register on a 33-long minor axis. Same math, same
-    float-op order — results are bit-identical to the row-major form.
+    each vector register on a 33-long minor axis, and in int16 (scores
+    are small exact integers) — half the HBM traffic of f32 with
+    identical argmax.
     """
+    dt = jnp.int16
     N, W = q.shape
-    jcols = jnp.arange(W + 1, dtype=jnp.float32)[:, None]  # [W+1, 1]
+    jcols = jnp.arange(W + 1, dtype=dt)[:, None]  # [W+1, 1]
 
     # Boundary row i=0: only gaps along the reference.
     col0 = jnp.arange(W + 1)[:, None] == 0
-    m0 = jnp.broadcast_to(jnp.where(col0, 0.0, NEG), (W + 1, N))
+    m0 = jnp.broadcast_to(jnp.where(col0, 0, NEG).astype(dt), (W + 1, N))
     iy0 = jnp.broadcast_to(
-        jnp.where(col0, NEG, GAP_OPEN + GAP_EXTEND * (jcols - 1.0)),
+        jnp.where(col0, NEG,
+                  GAP_OPEN + GAP_EXTEND * (jcols - 1)).astype(dt),
         (W + 1, N))
-    ix0 = jnp.full((W + 1, N), NEG)
+    ix0 = jnp.full((W + 1, N), NEG, dt)
 
     r_t = r.T  # [W, N]
 
@@ -144,23 +151,26 @@ def _nw_scores(q: jax.Array, r: jax.Array) -> jax.Array:
         m_prev, ix_prev, iy_prev = carry
         q_i, i = qi_and_i
         h_prev = jnp.maximum(jnp.maximum(m_prev, ix_prev), iy_prev)
-        sub = jnp.where(q_i[None, :] == r_t, MATCH, MISMATCH)  # [W, N]
+        sub = jnp.where(q_i[None, :] == r_t, MATCH,
+                        MISMATCH).astype(dt)  # [W, N]
         m = jnp.concatenate(
-            [jnp.full((1, N), NEG), h_prev[:-1] + sub], axis=0)
-        ix = jnp.maximum(m_prev + GAP_OPEN, ix_prev + GAP_EXTEND)
-        ix = ix.at[0, :].set(GAP_OPEN + GAP_EXTEND * i.astype(
-            jnp.float32))
+            [jnp.full((1, N), NEG, dt), h_prev[:-1] + sub], axis=0)
+        ix = jnp.maximum(m_prev + jnp.int16(GAP_OPEN),
+                         ix_prev + jnp.int16(GAP_EXTEND))
+        ix = ix.at[0, :].set((GAP_OPEN + GAP_EXTEND * i).astype(dt))
         # Iy via max-plus prefix: Iy[j] = e*j + cummax_{k<j}(M[k]+o-e(k+1))
-        base = m + GAP_OPEN - GAP_EXTEND * (jcols + 1.0)
-        base = jnp.maximum(base, ix + GAP_OPEN - GAP_EXTEND * (jcols
-                                                               + 1.0))
+        base = m + jnp.int16(GAP_OPEN) - jnp.int16(GAP_EXTEND) * (jcols
+                                                                  + 1)
+        base = jnp.maximum(
+            base, ix + jnp.int16(GAP_OPEN)
+            - jnp.int16(GAP_EXTEND) * (jcols + 1))
         cm = jax.lax.cummax(base, axis=0)
         iy = jnp.concatenate(
-            [jnp.full((1, N), NEG),
-             cm[:-1] + GAP_EXTEND * jcols[1:]], axis=0)
+            [jnp.full((1, N), NEG, dt),
+             cm[:-1] + jnp.int16(GAP_EXTEND) * jcols[1:]], axis=0)
         return (m, ix, iy), None
 
-    qi = q.astype(jnp.int32).T  # [W, N]
+    qi = q.astype(jnp.int16).T  # [W, N]
     ii = jnp.arange(W, dtype=jnp.int32)
     (m, ix, iy), _ = jax.lax.scan(row_step, (m0, ix0, iy0), (qi, ii))
     return jnp.maximum(jnp.maximum(m[-1], ix[-1]), iy[-1])

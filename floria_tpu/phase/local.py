@@ -365,8 +365,11 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
             alleles, weights, assigns, nreads, eps, ploidy)
         return members, ploidy, best, mec
 
+    launch_t = time.time()
     pending = _parallel_launch(_launch, list(groups.items()))
+    timing.add("upem.launch", time.time() - launch_t)
 
+    pull_t = time.time()
     for _m, _p, best, mec in pending:
         for a in (best, mec):
             if hasattr(a, "copy_to_host_async"):
@@ -375,6 +378,7 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
     # latency regardless of size; a pool overlaps them.
     flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
     hosts = _parallel_launch(np.asarray, flat)
+    timing.add("upem.pull", time.time() - pull_t)
     refined: Dict[Tuple[int, int], np.ndarray] = {}
     stats: Dict[Tuple[int, int], Tuple[float, float]] = {}
     for i, (members, ploidy, _b, _m2) in enumerate(pending):
