@@ -81,10 +81,15 @@ def _link_blocks_vectorized(block1: List[HapNode],
     # per-node loop it replaces, so sums are bit-identical.
     counts2 = np.stack([n.counts for n in block2])   # [n2, S2, A]
     exist2 = np.stack([n.exist for n in block2])
-    has_key = exist2[:, cols].sum(axis=-1) > 0       # [n2, n]
+    # Per-SITE stats reduce once over [n2, S2, A] and are then gathered
+    # per read-site — identical values to reducing the gathered rows,
+    # at ~1/coverage of the reduction work.
+    has_any = exist2.sum(axis=-1) > 0                # [n2, S2]
+    maxc_all = counts2.max(axis=-1)                  # [n2, S2]
+    has_key = has_any[:, cols]                       # [n2, n]
     at = counts2[:, cols, al]
     at_exists = exist2[:, cols, al] > 0
-    maxc = counts2[:, cols].max(axis=-1)
+    maxc = maxc_all[:, cols]
     dm = has_key & ~(at_exists & (at == maxc))
     contrib = np.where(dm, w.astype(np.float64)[None, :], 0.0)
     flat = (np.arange(n2, dtype=np.int64)[:, None] * F
