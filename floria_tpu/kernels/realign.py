@@ -404,6 +404,17 @@ def flush_pool(pool: RealignPool) -> None:
             idx = rest[np.nonzero(sel)[0]]
             if len(idx) == 0:
                 continue
+            # Small partitions (the multi-allelic remainder, little
+            # contigs) run the exact C++ Gotoh — cell-for-cell the
+            # device recurrence (validated bit-equal) — instead of
+            # paying a padded device dispatch.
+            if len(idx) <= 131072:
+                host = _native.nw_batch(q[idx], si[idx],
+                                        nal[idx].astype(np.int32),
+                                        ref_tab, al_tab)
+                if host is not None:
+                    best[idx] = host
+                    continue
             best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
                                        nal_d, a_max)
     if inv is not None and len(rest_all):

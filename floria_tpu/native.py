@@ -92,6 +92,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32, ctypes.c_char_p, ctypes.c_int64]
+    lib.floria_nw_batch.restype = ctypes.c_int64
+    lib.floria_nw_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        ctypes.c_int32]
     lib.floria_realign_exact.restype = ctypes.c_int64
     lib.floria_realign_exact.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -214,6 +224,26 @@ def format_vartig_info(left: int, gpos: np.ndarray, has: np.ndarray,
     if n < 0:
         return None
     return buf.raw[:n]
+
+
+def nw_batch(q: np.ndarray, si: np.ndarray, nal: np.ndarray,
+             ref_tab: np.ndarray, al_tab: np.ndarray) -> Optional[
+                 np.ndarray]:
+    """Exact CPU Gotoh over packed query windows — cell-for-cell the
+    device recurrence, so best-allele outputs are identical. For job
+    partitions too small to amortize a padded device dispatch. None
+    without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, w2 = q.shape
+    out = np.empty(n, np.int8)
+    lib.floria_nw_batch(
+        np.ascontiguousarray(q), np.ascontiguousarray(si, np.int32),
+        np.ascontiguousarray(nal, np.int32),
+        np.ascontiguousarray(ref_tab), np.ascontiguousarray(al_tab),
+        n, al_tab.shape[1], w2, out, os.cpu_count() or 1)
+    return out
 
 
 def realign_exact(q: np.ndarray, si: np.ndarray, nal: np.ndarray,

@@ -198,6 +198,88 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// Exact batched affine-gap NW matching kernels/realign.py's device
+// recurrence cell for cell (same transition set: Ix opens from M only,
+// Iy opens from M or Ix; boundary rows identical; integer scores), so
+// best-allele results are identical to the device kernel. Used for job
+// partitions too small to amortize a padded device dispatch. q is
+// 4-bit packed [n, w2]; ref/allele tables are code (not packed) rows.
+int64_t floria_nw_batch(const uint8_t* q, const int32_t* si,
+                        const int32_t* nal, const uint8_t* ref_tab,
+                        const uint8_t* al_tab, int64_t n, int32_t max_a,
+                        int32_t w2, int8_t* out_best,
+                        int32_t n_threads) {
+    const int W = 2 * w2;
+    const int GO = -2, GE = -1, MA = 1, MI = -1;
+    const int NEGI = -16384;
+    auto work = [&](int64_t lo_i, int64_t hi_i) {
+        std::vector<int> M(W + 1), Ix(W + 1), Iy(W + 1);
+        std::vector<uint8_t> qc(W), var(W);
+        for (int64_t i = lo_i; i < hi_i; ++i) {
+            const uint8_t* qp = q + i * w2;
+            for (int j = 0; j < w2; ++j) {
+                qc[2 * j] = qp[j] & 0xF;
+                qc[2 * j + 1] = qp[j] >> 4;
+            }
+            const uint8_t* ref = ref_tab + static_cast<int64_t>(si[i]) * W;
+            const uint8_t* als =
+                al_tab + static_cast<int64_t>(si[i]) * max_a;
+            int best_score = NEGI;
+            int8_t best = 0;
+            int na = nal[i] < max_a ? nal[i] : max_a;
+            for (int a = 0; a < na; ++a) {
+                std::memcpy(var.data(), ref, W);
+                var[w2] = als[a];  // center = FLANK = W/2 = w2
+                // boundary row 0
+                M[0] = 0; Ix[0] = NEGI; Iy[0] = NEGI;
+                for (int j = 1; j <= W; ++j) {
+                    M[j] = NEGI; Ix[j] = NEGI;
+                    Iy[j] = GO + GE * (j - 1);
+                }
+                for (int ii = 1; ii <= W; ++ii) {
+                    int diagM = M[0], diagIx = Ix[0], diagIy = Iy[0];
+                    M[0] = NEGI;
+                    Ix[0] = GO + GE * (ii - 1);
+                    Iy[0] = NEGI;
+                    for (int j = 1; j <= W; ++j) {
+                        int pm = M[j], pix = Ix[j], piy = Iy[j];
+                        int h = diagM > diagIx ? diagM : diagIx;
+                        if (diagIy > h) h = diagIy;
+                        int sub = (qc[ii - 1] == var[j - 1]) ? MA : MI;
+                        int m_new = h + sub;
+                        int ix_new = pm + GO;
+                        if (pix + GE > ix_new) ix_new = pix + GE;
+                        int iy_open = M[j - 1] > Ix[j - 1]
+                                          ? M[j - 1] : Ix[j - 1];
+                        int iy_new = iy_open + GO;
+                        if (Iy[j - 1] + GE > iy_new)
+                            iy_new = Iy[j - 1] + GE;
+                        M[j] = m_new; Ix[j] = ix_new; Iy[j] = iy_new;
+                        diagM = pm; diagIx = pix; diagIy = piy;
+                    }
+                }
+                int sc = M[W] > Ix[W] ? M[W] : Ix[W];
+                if (Iy[W] > sc) sc = Iy[W];
+                if (sc > best_score) { best_score = sc; best = a; }
+            }
+            out_best[i] = best;
+        }
+    };
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n < 4096) {
+        work(0, n);
+    } else {
+        std::vector<std::thread> threads;
+        int64_t per = (n + n_threads - 1) / n_threads;
+        for (int t = 1; t < n_threads; ++t)
+            threads.emplace_back(work, per * t,
+                                 std::min<int64_t>(n, per * (t + 1)));
+        work(0, std::min<int64_t>(n, per));
+        for (auto& th : threads) th.join();
+    }
+    return n;
+}
+
 // VCF SNP scan (file_reader.rs:116-181 semantics, matching
 // ingest/vcf.py::read_vcf): for each non-header line, keep records
 // whose REF and every comma-separated ALT are single bases in
