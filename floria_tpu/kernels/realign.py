@@ -328,9 +328,6 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
     si_all = np.zeros(total, np.int32)
     q_all[:N] = q
     si_all[:N] = si
-    from .. import warmup
-    warmup.record("nw", (n_pad, chunk, ref_tab.shape[0],
-                         al_tab.shape[1], n_alleles_max))
     return np.asarray(_nw_best_chunked(
         jnp.asarray(q_all.reshape(n_pad, chunk, WINDOW // 2)),
         jnp.asarray(si_all.reshape(n_pad, chunk)),

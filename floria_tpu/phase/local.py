@@ -358,9 +358,6 @@ def refine_instances(blocks: List[Tuple[int, BlockTensor]],
         ids = [j for j, _bt in members]
         ids += [ids[0]] * (G_pad - G)
         alleles, weights = cache.gather((r_pad, s_pad), ids)
-        from .. import constants, warmup
-        warmup.record("upem", (G_pad, r_pad, s_pad, ploidy,
-                               constants.MAX_ALLELES))
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy)
         return members, ploidy, best, mec
@@ -503,10 +500,6 @@ def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
                                    window=window)
     # Device arrays returned as-is; callers pull them after launching
     # every group (async dispatch).
-    from .. import constants, warmup
-    G, R, S = alleles.shape
-    warmup.record("beam_mixed", (G, R, S, max_ploidy, beam_width,
-                                 constants.MAX_ALLELES, window, True))
     return tuple(beam_kernel.beam_search_batch_mixed(
         alleles, weights, nreads, eps, nparts, max_ploidy, beam_width,
         window=window))

@@ -135,8 +135,6 @@ def run(options: Options) -> None:
                     log.exception(
                         "Contig %s failed; --keep-going continues.",
                         contig)
-    from . import warmup
-    warmup.save()
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 
@@ -168,11 +166,6 @@ def _run_group(group: List[str], main_bam, short_bam,
         timing.add("ingest.collect", time.time() - col_t)
         collected.append((contig, contig_out_dir, cv, ref_seq, id_map))
     if pool is not None:
-        # Warm the beam/upem jit variants while the main thread is
-        # blocked on the realign device sweep (GIL mostly free); nw is
-        # excluded — its variants are being compiled for real right now.
-        from . import warmup
-        warmup.start(skip_kinds=("nw",))
         flush_t = time.time()
         flush_pool(pool)
         timing.add("realign_dispatch", time.time() - flush_t)
