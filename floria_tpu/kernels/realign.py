@@ -68,6 +68,9 @@ CHUNK_JOBS = 32768
 
 
 def _chunk_jobs() -> int:
+    # TPU: 256k-job chunks. Bigger (1M) chunks were measured SLOWER end
+    # to end: exec stays ~1s but the pre-dispatch sync scales with the
+    # state buffer size (~+2s at 1M chunks on the remote runtime).
     return 32768 if jax.default_backend() == "cpu" else (1 << 18)
 
 # 4-bit sequence codes: the BAM nibble alphabet (every base a BAM or
