@@ -65,11 +65,20 @@ def get_range_with_lengths(snp_to_genome_pos: np.ndarray, block_length: int,
 
 
 def find_reads_in_interval(start: int, end: int, frags,
-                           max_span: int = 10000) -> list:
+                           max_span: int = 10000,
+                           bounds=None) -> list:
     """Fragments overlapping [start, end] (inclusive, 1-based), in sorted
     fragment order; spans > max_span SNPs are circularity artifacts and are
     skipped (local_clustering.rs:12-59). `frags` must be sorted by
-    first_position."""
+    first_position. Pass bounds=interval_bounds(frags) when calling for
+    many intervals — the selection then vectorizes instead of re-walking
+    the fragment list per block."""
+    if bounds is not None:
+        firsts, lasts = bounds
+        hi = int(np.searchsorted(firsts, end, side="right"))
+        sel = np.flatnonzero((lasts[:hi] >= start)
+                             & (lasts[:hi] - firsts[:hi] <= max_span))
+        return [frags[int(i)] for i in sel]
     out = []
     for frag in frags:
         if frag.last_position < start:
@@ -80,3 +89,13 @@ def find_reads_in_interval(start: int, end: int, frags,
             continue
         out.append(frag)
     return out
+
+
+def interval_bounds(frags):
+    """(firsts, lasts) position arrays for find_reads_in_interval's
+    vectorized path."""
+    firsts = np.fromiter((f.first_position for f in frags),
+                         dtype=np.int64, count=len(frags))
+    lasts = np.fromiter((f.last_position for f in frags),
+                        dtype=np.int64, count=len(frags))
+    return firsts, lasts

@@ -26,7 +26,8 @@ from .. import timing
 from ..kernels import beam as beam_kernel
 from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
-from .blocks import find_reads_in_interval, get_range_with_lengths
+from .blocks import (find_reads_in_interval, get_range_with_lengths,
+                     interval_bounds)
 
 
 @dataclasses.dataclass
@@ -169,8 +170,10 @@ def phase_contigs_blocks(per_contig, options: Options
         ranges = get_range_with_lengths(
             snp_to_genome_pos, options.block_length,
             options.block_length // 3, options.snp_density)
+        bounds = interval_bounds(frags)
         for j, rng in enumerate(ranges):
-            reads = find_reads_in_interval(rng[0], rng[1], frags)
+            reads = find_reads_in_interval(rng[0], rng[1], frags,
+                                           bounds=bounds)
             bt = pack_block(reads, rng)
             if bt is not None:
                 blocks.append(((ci, j), bt))
