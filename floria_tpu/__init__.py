@@ -55,7 +55,32 @@ def _disable_thp() -> None:
         pass
 
 
+def _keep_large_allocations() -> None:
+    """Serve large mallocs from the reusable heap instead of mmap.
+
+    glibc mmaps allocations above M_MMAP_THRESHOLD and munmaps them on
+    free, returning the pages to the kernel. On the target VMs guest
+    pages released to the kernel lose their host backing (free-page
+    reporting), so every fresh large buffer — the decoded BAM, payload
+    buffers, site arrays, NW job tensors — re-pays first-touch faults
+    that run as slow as ~30 MB/s, dominating whole host stages on
+    repeat runs. Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps those
+    buffers inside the process heap where freed pages stay backed:
+    measured 2-8 GB/s refills vs 30-60 MB/s without (alloc+fill 128 MB
+    loop). Costs peak-RSS retention only; the VMs have >100 GB RAM.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - best-effort
+        pass
+
+
 _enable_compilation_cache()
 _disable_thp()
+_keep_large_allocations()
 
 from .options import Options  # noqa: F401

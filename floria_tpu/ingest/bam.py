@@ -157,9 +157,63 @@ def _decode_seq(packed: np.ndarray, l_seq: int) -> np.ndarray:
     return _SEQ_TABLE[codes[:l_seq]]
 
 
+def read_header_references(path: str) -> List[str]:
+    """Header target names without decoding the whole BAM: inflate BGZF
+    members only until the reference list is complete (the header is in
+    the first few members; a full-file inflate here would double the
+    ingest's decompression cost)."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:2] != b"\x1f\x8b":
+        data = raw
+
+        def more(_need: int) -> bool:
+            return False
+    else:
+        chunks: List[bytes] = []
+        pos = 0
+
+        def more(need: int) -> bool:
+            nonlocal pos, data
+            while len(data) < need and pos < len(raw):
+                d = zlib.decompressobj(wbits=31)
+                chunks.append(d.decompress(raw[pos:pos + (1 << 16)]))
+                # BGZF members are <= 64 KiB compressed; feed until this
+                # member ends, then resume at the next one.
+                fed = 1 << 16
+                while not d.eof and pos + fed < len(raw):
+                    chunks.append(d.decompress(raw[pos + fed:pos + fed
+                                                   + (1 << 16)]))
+                    fed += 1 << 16
+                pos += (fed if d.eof else len(raw) - pos) - len(
+                    d.unused_data)
+                data = b"".join(chunks)
+            return len(data) >= need
+
+        data = b""
+        more(12)
+    if data[:4] != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM file")
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    off = 8 + l_text
+    more(off + 4)
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    refs: List[str] = []
+    for _ in range(n_ref):
+        more(off + 4)
+        l_name = struct.unpack_from("<i", data, off)[0]
+        more(off + 8 + l_name)
+        refs.append(data[off + 4:off + 4 + l_name - 1].decode())
+        off += 8 + l_name
+    return refs
+
+
 def get_contigs_to_phase(bam_file: str) -> List[str]:
     """BAM header target names in order (file_reader.rs:738-746)."""
-    return BamFile(bam_file).references
+    return read_header_references(bam_file)
 
 
 def aligned_snp_pairs(record: BamRecord,

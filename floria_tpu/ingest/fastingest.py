@@ -253,11 +253,9 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
                 rec_targets.append((frag, slice(lo, hi)))
         by_name.setdefault(frag.id, []).append((flag, frag))
     if realigner is not None and rec_targets:
-        # One vectorized window gather + pack for the whole contig
-        # (per-record calls cost ~200us each in Python).
-        starts = pay_offs[out_rec]
-        realigner.add_jobs_bulk(
-            seq_buf, out_qpos.astype(np.int64) + starts, starts,
-            pay_offs[out_rec + 1], out_snp.astype(np.int64) + 1,
-            rec_targets)
+        # One fused native pass for the whole contig's jobs (falls back
+        # to the vectorized numpy path inside; per-record Python calls
+        # cost ~200us each).
+        realigner.add_jobs_from_records(seq_buf, pay_offs, out_rec,
+                                        out_qpos, out_snp, rec_targets)
     return by_name

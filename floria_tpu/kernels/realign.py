@@ -264,6 +264,49 @@ class SnpRealigner:
         pool._nal.append(self.n_alleles[snp_idx[ok]])
         pool._targets.append((frag, snp_counters[ok]))
 
+    def add_jobs_from_records(self, seq_buf: np.ndarray,
+                              pay_offs: np.ndarray, out_rec: np.ndarray,
+                              out_qpos: np.ndarray, out_snp: np.ndarray,
+                              rec_targets) -> None:
+        """Queue a whole contig's jobs straight from the native ingest's
+        flat site arrays (record id / in-payload query pos / 0-based SNP
+        row per site). The native single-pass builder fuses the bounds
+        mask, window pack, and table lookups of add_jobs_bulk — which is
+        the bitwise-identical fallback — writing each output byte once
+        (fresh-page first-touch, not compute, dominates this stage on
+        the target VMs)."""
+        if not len(out_snp):
+            return
+        from .. import native
+        base = self._ensure_tables()
+        res = native.realign_jobs(seq_buf, out_rec, out_qpos, out_snp,
+                                  pay_offs, self.cv.genome_pos,
+                                  len(self.ref), self.n_alleles, FLANK,
+                                  base)
+        if res is None:
+            starts = pay_offs[out_rec]
+            self.add_jobs_bulk(seq_buf,
+                               out_qpos.astype(np.int64) + starts,
+                               starts, pay_offs[out_rec + 1],
+                               out_snp.astype(np.int64) + 1, rec_targets)
+            return
+        kept, packed, si, nal, snp_kept = res
+        if not len(si):
+            return
+        pool = self.pool
+        pool._q.append(packed)
+        pool._si.append(si)
+        pool._nal.append(nal)
+        # Per-record split of the compacted kept sites: record slices
+        # index the input sites, so the kept-array bounds are the
+        # cumulative kept counts at the slice edges.
+        ck = np.zeros(len(kept) + 1, np.int64)
+        np.cumsum(kept, out=ck[1:])
+        for frag, sl in rec_targets:
+            o, e = int(ck[sl.start]), int(ck[sl.stop])
+            if e > o:
+                pool._targets.append((frag, snp_kept[o:e]))
+
     def add_jobs_bulk(self, seq: np.ndarray, qpos_global: np.ndarray,
                       rec_start: np.ndarray, rec_end: np.ndarray,
                       snp_counters: np.ndarray,

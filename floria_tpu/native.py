@@ -64,6 +64,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
+    lib.floria_realign_jobs.restype = ctypes.c_int64
+    lib.floria_realign_jobs.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int32]
     lib.floria_csr_gather_range.restype = ctypes.c_int64
     lib.floria_csr_gather_range.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -265,6 +283,39 @@ def realign_exact(q: np.ndarray, si: np.ndarray, nal: np.ndarray,
         np.ascontiguousarray(var_tab), n, A, w2, out,
         os.cpu_count() or 1)
     return out
+
+
+def realign_jobs(seq_buf: np.ndarray, rec: np.ndarray, qpos: np.ndarray,
+                 snp: np.ndarray, pay_offs: np.ndarray,
+                 genome_pos: np.ndarray, ref_len: int,
+                 n_alleles: np.ndarray, flank: int, tab_base: int):
+    """Single-pass realignment job builder (mask + window pack + SNP
+    row/allele-count lookups + kept-site compaction); the numpy
+    equivalent in kernels/realign.py remains the fallback. Returns
+    (kept mask[n] bool, packed[nk, flank] uint8, si[nk] int32,
+    nal[nk] int32, snp_counters[nk] int32 1-based) or None without the
+    native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(snp)
+    kept = np.empty(n, np.uint8)
+    packed = np.empty((n, flank), np.uint8)
+    si = np.empty(n, np.int32)
+    nal = np.empty(n, np.int32)
+    snp_kept = np.empty(n, np.int32)
+    nk = lib.floria_realign_jobs(
+        np.ascontiguousarray(seq_buf, np.uint8),
+        np.ascontiguousarray(rec, np.int32),
+        np.ascontiguousarray(qpos, np.int32),
+        np.ascontiguousarray(snp, np.int32), n,
+        np.ascontiguousarray(pay_offs, np.int64),
+        np.ascontiguousarray(genome_pos, np.int64), ref_len,
+        np.ascontiguousarray(n_alleles, np.int32), flank, tab_base,
+        kept, packed.reshape(-1), si, nal, snp_kept,
+        os.cpu_count() or 1)
+    return (kept.view(bool), packed[:nk], si[:nk], nal[:nk],
+            snp_kept[:nk])
 
 
 def pack_windows(seq_buf: np.ndarray, qpos: np.ndarray,

@@ -198,6 +198,85 @@ void floria_pack_windows(const uint8_t* seq, const int64_t* qpos,
     for (auto& th : threads) th.join();
 }
 
+// Single-pass realignment job builder: fuses add_jobs_bulk's bounds
+// mask, window gather+4-bit pack, SNP-row/allele-count lookups, and
+// kept-site compaction (kernels/realign.py add_jobs_bulk, whose numpy
+// version remains the fallback). One parallel sweep writes each output
+// byte exactly once — on VMs where fresh-page first-touch is the real
+// cost, this beats the ~10 full-size numpy temporaries the fallback
+// allocates. Outputs are compacted to the kept jobs in site order;
+// kept[] is the per-input-site mask for the caller's per-record split.
+// Returns the number of kept jobs.
+int64_t floria_realign_jobs(
+    const uint8_t* seq, const int32_t* rec, const int32_t* qpos,
+    const int32_t* snp, int64_t n, const int64_t* pay_offs,
+    const int64_t* genome_pos, int64_t ref_len,
+    const int32_t* n_alleles, int32_t flank, int32_t tab_base,
+    uint8_t* kept, uint8_t* packed, int32_t* si, int32_t* nal,
+    int32_t* snp_kept, int32_t n_threads) {
+    static uint8_t enc[256];
+    static bool init = false;
+    if (!init) {
+        static const char alphabet[17] = "=ACMGRSVTWYHKDBN";
+        std::memset(enc, 15, sizeof(enc));
+        for (int i = 0; i < 16; ++i)
+            enc[static_cast<uint8_t>(alphabet[i])] =
+                static_cast<uint8_t>(i);
+        init = true;
+    }
+    const int64_t w2 = flank;  // packed bytes per job = WINDOW/2
+    if (n_threads < 1) n_threads = 1;
+    if (n < (1 << 15)) n_threads = 1;
+    const int T = n_threads;
+    std::vector<int64_t> cnt(T, 0);
+    const int64_t per = (n + T - 1) / T;
+    auto pass1 = [&](int t) {
+        const int64_t lo = per * t, hi = std::min<int64_t>(n, per * (t + 1));
+        int64_t c = 0;
+        for (int64_t k = lo; k < hi; ++k) {
+            const int64_t gp = genome_pos[snp[k]];
+            const int64_t q0 = pay_offs[rec[k]] + qpos[k];
+            const bool ok = gp >= flank && gp + flank < ref_len &&
+                            qpos[k] >= flank &&
+                            q0 + flank < pay_offs[rec[k] + 1];
+            kept[k] = ok;
+            c += ok;
+        }
+        cnt[t] = c;
+    };
+    {
+        std::vector<std::thread> threads;
+        for (int t = 1; t < T; ++t) threads.emplace_back(pass1, t);
+        pass1(0);
+        for (auto& th : threads) th.join();
+    }
+    std::vector<int64_t> offs(T + 1, 0);
+    for (int t = 0; t < T; ++t) offs[t + 1] = offs[t] + cnt[t];
+    auto pass2 = [&](int t) {
+        const int64_t lo = per * t, hi = std::min<int64_t>(n, per * (t + 1));
+        int64_t o = offs[t];
+        for (int64_t k = lo; k < hi; ++k) {
+            if (!kept[k]) continue;
+            const uint8_t* src = seq + pay_offs[rec[k]] + qpos[k] - flank;
+            uint8_t* dst = packed + o * w2;
+            for (int64_t j = 0; j < w2; ++j)
+                dst[j] = static_cast<uint8_t>(
+                    enc[src[2 * j]] | (enc[src[2 * j + 1]] << 4));
+            si[o] = tab_base + snp[k];
+            nal[o] = n_alleles[snp[k]];
+            snp_kept[o] = snp[k] + 1;
+            ++o;
+        }
+    };
+    {
+        std::vector<std::thread> threads;
+        for (int t = 1; t < T; ++t) threads.emplace_back(pass2, t);
+        pass2(0);
+        for (auto& th : threads) th.join();
+    }
+    return offs[T];
+}
+
 // Exact batched affine-gap NW matching kernels/realign.py's device
 // recurrence cell for cell (same transition set: Ix opens from M only,
 // Iy opens from M or Ix; boundary rows identical; integer scores), so

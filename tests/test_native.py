@@ -106,3 +106,41 @@ def test_native_flow_matches_scipy(lib):
                                                 abs=1e-6)
     for row in rows:
         assert abs(row @ x_native) < 1e-6
+
+
+def test_native_realign_jobs_matches_numpy(lib):
+    """floria_realign_jobs == add_jobs_bulk's numpy mask/pack/lookup
+    path, including record-edge and contig-edge bounds drops."""
+    from floria_tpu.kernels.realign import _ENC, _OFFSETS, _pack4
+
+    rng = np.random.default_rng(7)
+    FLANK = 16
+    n_rec, n_snp, ref_len = 40, 30, 5000
+    lens = rng.integers(1, 200, n_rec)  # some records shorter than W
+    pay_offs = np.zeros(n_rec + 1, np.int64)
+    np.cumsum(lens, out=pay_offs[1:])
+    seq = rng.integers(0, 256, int(pay_offs[-1])).astype(np.uint8)
+    genome_pos = np.sort(rng.choice(ref_len + 40, n_snp,
+                                    replace=False)).astype(np.int64)
+    n_alleles = rng.integers(1, 5, n_snp).astype(np.int64)
+    n_sites = 500
+    rec = np.sort(rng.integers(0, n_rec, n_sites)).astype(np.int32)
+    qpos = np.array([rng.integers(0, lens[r]) for r in rec], np.int32)
+    snp = rng.integers(0, n_snp, n_sites).astype(np.int32)
+
+    res = native.realign_jobs(seq, rec, qpos, snp, pay_offs, genome_pos,
+                              ref_len, n_alleles, FLANK, tab_base=3)
+    assert res is not None
+    kept, packed, si, nal, snp_kept = res
+
+    qpos_global = qpos.astype(np.int64) + pay_offs[rec]
+    gn = genome_pos[snp]
+    ok = ((gn >= FLANK) & (gn + FLANK < ref_len) & (qpos >= FLANK)
+          & (qpos_global + FLANK < pay_offs[rec + 1]))
+    assert (kept == ok).all()
+    assert (si == 3 + snp[ok].astype(np.int64)).all()
+    assert (nal == n_alleles[snp[ok]]).all()
+    assert (snp_kept == snp[ok] + 1).all()
+    qsel = qpos_global[ok]
+    want = _pack4(_ENC[seq[qsel[:, None] + _OFFSETS]])
+    assert (packed == want).all()
