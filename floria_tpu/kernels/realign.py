@@ -359,6 +359,10 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
                    al_tab: jax.Array, nal_tab: jax.Array,
                    n_alleles_max: int) -> np.ndarray:
     """Pad one job partition into bucketed chunk shapes and run it."""
+    import time as _time
+
+    from .. import timing as _timing
+
     N = len(q)
     chunk = _chunk_jobs()
     n_chunks = (N + chunk - 1) // chunk
@@ -374,10 +378,16 @@ def _dispatch_jobs(q: np.ndarray, si: np.ndarray, ref_tab: jax.Array,
     si_all = np.zeros(total, np.int32)
     q_all[:N] = q
     si_all[:N] = si
-    return np.asarray(_nw_best_chunked(
+    _t = _time.time()
+    res = _nw_best_chunked(
         jnp.asarray(q_all.reshape(n_pad, chunk, WINDOW // 2)),
         jnp.asarray(si_all.reshape(n_pad, chunk)),
-        ref_tab, al_tab, nal_tab, n_alleles_max)).reshape(total)[:N]
+        ref_tab, al_tab, nal_tab, n_alleles_max)
+    _timing.add("realign.device.tpu_dispatch", _time.time() - _t)
+    _t = _time.time()
+    out = np.asarray(res).reshape(total)[:N]
+    _timing.add("realign.device.tpu_pull", _time.time() - _t)
+    return out
 
 
 def flush_pool(pool: RealignPool) -> None:
@@ -407,11 +417,14 @@ def flush_pool(pool: RealignPool) -> None:
     nal_d = jnp.asarray(nal_tab)
 
     best = np.empty(N, np.int8)
-    # Exact-match precheck (native): a query window equal to a candidate
-    # variant scores the unbeatable global max W*MATCH in the NW, and
-    # two variants can't both match (they differ at the center), so the
-    # matched allele IS the kernel's argmax. At realistic error rates
-    # this resolves ~half the jobs host-side with a 16-byte memcmp each.
+    # Hamming precheck (native): with these scores a gapless alignment
+    # of equal-length windows scores exactly W - 2*hamming while ANY
+    # gapped alignment scores <= W - 5, so whenever some variant is
+    # within hamming 2 the NW argmax is provable host-side (first
+    # lowest-index minimum, the same tie rule as jnp.argmax); see
+    # floria_realign_exact in native/bgzf_bam.cpp for the proof. At
+    # realistic error rates this resolves ~90%+ of jobs with a 16-byte
+    # XOR scan each.
     from .. import native as _native
     todo = np.ones(N, bool)
     if N:
@@ -452,11 +465,14 @@ def flush_pool(pool: RealignPool) -> None:
             # device recurrence (validated bit-equal) — instead of
             # paying a padded device dispatch.
             if len(idx) <= 131072:
+                _tc = _time.time()
                 host = _native.nw_batch(q[idx], si[idx],
                                         nal[idx].astype(np.int32),
                                         ref_tab, al_tab)
                 if host is not None:
                     best[idx] = host
+                    _timing.add("realign.device.cpp",
+                                _time.time() - _tc)
                     continue
             best[idx] = _dispatch_jobs(q[idx], si[idx], ref_d, al_d,
                                        nal_d, a_max)

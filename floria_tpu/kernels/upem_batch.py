@@ -24,30 +24,21 @@ import numpy as np
 from .. import constants
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
-def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
-                    max_alleles=constants.MAX_ALLELES):
-    """Evaluate a batch of partitions.
-
-    alleles [G, R, S] int8, weights [G, R, S] f32, assign [G, R] int32
-    (-1 = padding row), epsilon [G] f32.
-
-    Returns (diff [G, R, P] f32 epsilon-distances,
-             score [G] f32 = -(sum of phred MEC-epsilon errors),
-             mec_noph [G, 2] f32 = (bases, errors) with unit weights).
-    """
+def _eval_diff_score(alleles, weights, assign, epsilon, ploidy,
+                     max_alleles):
+    """Move-evaluation core: (diff [G, R, P], score [G]). Runs once per
+    hill-climb iteration, so it computes ONLY what the iteration needs;
+    the unit-weight MEC stats live in _eval_mec (computed once on the
+    final assignment — they never influence the climb)."""
     P = ploidy
     A = max_alleles
-    G, R, S = alleles.shape
     eps = epsilon[:, None, None]
 
     assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)  # [G, R, P]
     covered = (alleles >= 0)
     covf = covered.astype(jnp.float32)
 
-    # Per-allele read factors and part-side counts/cover.
     counts = []
-    cover = []
     wa_list = []
     for a in range(A):
         is_a = (alleles == a).astype(jnp.float32)
@@ -55,10 +46,7 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
         wa_list.append(wa)
         counts.append(jnp.einsum("grp,grs->gps", assign_oh, wa,
                                  preferred_element_type=jnp.float32))
-        cover.append(jnp.einsum("grp,grs->gps", assign_oh, is_a,
-                                preferred_element_type=jnp.float32))
     counts = jnp.stack(counts, axis=1)                       # [G, A, P, S]
-    cover = jnp.stack(cover, axis=1)
 
     maxc = counts.max(axis=1)                                # [G, P, S]
     nonempty = (maxc > 0.0).astype(jnp.float32)
@@ -75,15 +63,27 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
 
     # Phred MEC-epsilon score (local_clustering.rs:218-260): per part and
     # site with any entry: errors += total - max + eps*(max <= 1).
-    has_key = (cover.sum(axis=1) > 0).astype(jnp.float32)    # [G, P, S]
+    # has_key = "any read of part p covers site s" — one covf einsum;
+    # the per-allele cover sum it replaces is exactly equal (both are
+    # small-integer-valued counts compared against 0).
+    pcov = jnp.einsum("grp,grs->gps", assign_oh, covf,
+                      preferred_element_type=jnp.float32)
+    has_key = (pcov > 0).astype(jnp.float32)                 # [G, P, S]
     total = counts.sum(axis=1)
     errors = ((total - maxc) * has_key).sum((1, 2))
     errors = errors + (epsilon
                        * ((maxc <= 1.0) * has_key).sum((1, 2)))
     score = -errors                                          # [G]
+    return diff, score
 
-    # Unit-weight MEC stats for the ploidy-sweep stopping rules
-    # (get_mec_stats_epsilon_no_phred).
+
+def _eval_mec(alleles, assign, epsilon, ploidy, max_alleles):
+    """Unit-weight MEC stats (get_mec_stats_epsilon_no_phred) for the
+    ploidy-sweep stopping rules: mec_noph [G, 2] = (bases, errors)."""
+    P = ploidy
+    A = max_alleles
+    assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)
+    covf = (alleles >= 0).astype(jnp.float32)
     ucounts = []
     for a in range(A):
         is_a = (alleles == a).astype(jnp.float32) * covf
@@ -95,7 +95,24 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
     ubases = (umax * uhas).sum((1, 2))
     uerr = ((ucounts.sum(axis=1) - umax) * uhas).sum((1, 2))
     uerr = uerr + epsilon * ((umax <= 1.0) * uhas).sum((1, 2))
-    mec_noph = jnp.stack([ubases, uerr], axis=-1)
+    return jnp.stack([ubases, uerr], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
+def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
+                    max_alleles=constants.MAX_ALLELES):
+    """Evaluate a batch of partitions.
+
+    alleles [G, R, S] int8, weights [G, R, S] f32, assign [G, R] int32
+    (-1 = padding row), epsilon [G] f32.
+
+    Returns (diff [G, R, P] f32 epsilon-distances,
+             score [G] f32 = -(sum of phred MEC-epsilon errors),
+             mec_noph [G, 2] f32 = (bases, errors) with unit weights).
+    """
+    diff, score = _eval_diff_score(alleles, weights, assign, epsilon,
+                                   ploidy, max_alleles)
+    mec_noph = _eval_mec(alleles, assign, epsilon, ploidy, max_alleles)
     return diff, score, mec_noph
 
 
@@ -165,33 +182,36 @@ def upem_optimize_device(alleles, weights, assign0, num_reads, epsilon,
     G, R, _S = alleles.shape
 
     def eval_all(asg):
-        return upem_eval_batch(alleles, weights, asg, epsilon, ploidy,
-                               max_alleles)
+        return _eval_diff_score(alleles, weights, asg, epsilon, ploidy,
+                                max_alleles)
 
-    diff0, score0, mec0 = eval_all(assign0)
+    diff0, score0 = eval_all(assign0)
 
     def cond(state):
-        it, _best, _score, _mec, _diff, active = state
+        it, _best, _score, _diff, active = state
         return (it < constants.NUM_ITER_OPTIMIZE) & active.any()
 
     def body(state):
-        it, best, best_score, best_mec, diff, active = state
+        it, best, best_score, diff, active = state
         proposal = jax.vmap(_apply_moves_single)(best, diff, num_reads)
         changed = (proposal != best).any(axis=1)
         active = active & changed
-        new_diff, new_score, new_mec = eval_all(proposal)
+        new_diff, new_score = eval_all(proposal)
         improved = active & (new_score > best_score)
         imp_r = improved[:, None]
         best = jnp.where(imp_r, proposal, best)
         best_score = jnp.where(improved, new_score, best_score)
-        best_mec = jnp.where(improved[:, None], new_mec, best_mec)
         diff = jnp.where(improved[:, None, None], new_diff, diff)
-        return (it + 1, best, best_score, best_mec, diff, improved)
+        return (it + 1, best, best_score, diff, improved)
 
-    state = (jnp.int32(0), assign0, score0, mec0, diff0,
+    state = (jnp.int32(0), assign0, score0, diff0,
              jnp.ones(G, dtype=bool))
-    _it, best, _score, best_mec, diff, _active = jax.lax.while_loop(
+    _it, best, _score, diff, _active = jax.lax.while_loop(
         cond, body, state)
+    # The unit-weight MEC stats never influence the climb; one final
+    # eval on the winning assignment replaces computing them (A more
+    # full-tensor einsums) inside every iteration.
+    best_mec = _eval_mec(alleles, best, epsilon, ploidy, max_alleles)
     return best, best_mec, diff
 
 

@@ -46,7 +46,9 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
                         weights: np.ndarray, num_reads: np.ndarray,
                         epsilon: np.ndarray, num_parts: np.ndarray,
                         max_ploidy: int, beam_width: int,
-                        window: int = 0) -> Tuple[np.ndarray, ...]:
+                        window: int = 0,
+                        max_alleles: int = None
+                        ) -> Tuple[np.ndarray, ...]:
     """Beam-search a batch of block instances sharded over the mesh.
 
     The batch (leading) axis is padded to a multiple of the mesh size and
@@ -74,7 +76,10 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
-    fn = _sharded_beam_fn(mesh, max_ploidy, beam_width, window)
+    if max_alleles is None:
+        max_alleles = beam_kernel.constants.MAX_ALLELES
+    fn = _sharded_beam_fn(mesh, max_ploidy, beam_width, window,
+                          max_alleles)
     sharding = NamedSharding(mesh, P("block"))
     args = [jax.device_put(a, sharding)
             for a in (alleles, weights, num_reads, epsilon,
@@ -85,11 +90,13 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
 
 @functools.lru_cache(maxsize=64)
 def _sharded_beam_fn(mesh: Mesh, max_ploidy: int, beam_width: int,
-                     window: int):
+                     window: int, max_alleles: int = None):
+    if max_alleles is None:
+        max_alleles = beam_kernel.constants.MAX_ALLELES
     local = jax.vmap(functools.partial(
         beam_kernel._beam_search_single_hist, ploidy=max_ploidy,
         beam_width=beam_width,
-        max_alleles=beam_kernel.constants.MAX_ALLELES, window=window))
+        max_alleles=max_alleles, window=window))
 
     spec = P("block")
 

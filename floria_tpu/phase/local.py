@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .. import timing
+from .. import constants, timing
 from ..kernels import beam as beam_kernel
 from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
@@ -189,31 +189,21 @@ def phase_contigs_blocks(per_contig, options: Options
     mec_vec = {key: np.zeros(max_p) for key, _bt in blocks}
     exp_vec = {key: np.zeros(max_p) for key, _bt in blocks}
     chosen: Dict[object, Tuple[int, np.ndarray]] = {}
-    prev_assign: Dict[object, np.ndarray] = {}
     # Adaptive level-wise sweep, mirroring the reference's sequential
     # per-block early exit (graph_processing.rs:198-252): ploidy p runs
-    # only for blocks still undecided after p-1, and each level
-    # dispatches at its EXACT ploidy (state [p*W, p, R], not padded to
-    # max_ploidy) — on low-strain data most blocks stop at 2-3, skipping
-    # the majority of the old all-ploidies mixed dispatch's compute.
+    # only for blocks still undecided after p-1, at its EXACT ploidy.
+    # Each level is ONE wave of chained beam->UPEM device dispatches
+    # (sweep_levels): the beam traceback feeds UPEM on device, so a
+    # level costs a single result-pull round trip. (Launching ALL
+    # levels speculatively was measured SLOWER warm: the 2.5x discarded
+    # device compute exceeds the saved link latency.)
+    prev_assign: Dict[object, np.ndarray] = {}
     active = blocks
-    beam_s = upem_s = 0.0
     for ploidy in range(1, max_p + 1):
         if not active:
             break
-        t0 = time.time()
-        if ploidy == 1:
-            assignments: Dict[Tuple[object, int], np.ndarray] = {}
-        else:
-            assignments = phase_instances(active, options,
-                                          ploidies=[ploidy],
-                                          cache=cache)
-        beam_s += time.time() - t0
-        t0 = time.time()
-        refined_p, stats_p = refine_instances(active, assignments,
-                                              options, cache=cache,
-                                              ploidies=[ploidy])
-        upem_s += time.time() - t0
+        refined_p, stats_p = sweep_levels(active, options, cache,
+                                          ploidies=[ploidy])
         next_active = []
         for key, bt in active:
             good, bad = stats_p[(key, ploidy)]
@@ -229,11 +219,8 @@ def phase_contigs_blocks(per_contig, options: Options
                 prev_assign[key] = refined_p[(key, ploidy)]
                 next_active.append((key, bt))
         active = next_active
-    timing.add("beam", beam_s)
-    timing.add("upem", upem_s)
-    _log.info("Beam search: %d blocks, adaptive ploidy sweep <= %d in "
-              "%.2fs (UPEM %.2fs)", len(blocks), max_p,
-              time.time() - sweep_t, upem_s)
+    _log.info("Beam search: %d blocks, adaptive chained sweep <= %d in "
+              "%.2fs", len(blocks), max_p, time.time() - sweep_t)
 
     for (ci, j), bt in blocks:
         ckey = per_contig[ci][0]
@@ -290,6 +277,11 @@ class BlockDeviceCache:
             buckets.setdefault(key, []).append((j, bt))
         self.rows: Dict[object, int] = {}
         self.dev: Dict[Tuple[int, int], Tuple[object, object]] = {}
+        # Actual allele-value width per bucket (e.g. 2 on biallelic
+        # data): kernels dispatched with this instead of MAX_ALLELES
+        # skip count planes that are identically zero — exact, at half
+        # the state traffic in the common case.
+        self.amax: Dict[Tuple[int, int], int] = {}
         for (r_pad, s_pad), members in buckets.items():
             B = len(members)
             alleles = np.full((B, r_pad, s_pad), -1, dtype=np.int8)
@@ -299,6 +291,8 @@ class BlockDeviceCache:
                 alleles[b, :r, :s] = bt.alleles
                 quals[b, :r, :s] = bt.quals
                 self.rows[j] = b
+            self.amax[(r_pad, s_pad)] = min(
+                constants.MAX_ALLELES, max(2, int(alleles.max()) + 1))
             dev_a = jax.device_put(alleles)
             dev_w = beam_kernel.quals_to_weights(jax.device_put(quals))
             self.dev[(r_pad, s_pad)] = (dev_a, dev_w)
@@ -313,6 +307,97 @@ class BlockDeviceCache:
         idx = jnp.asarray(
             np.array([self.rows[j] for j in block_ids], np.int32))
         return jnp.take(dev_a, idx, axis=0), jnp.take(dev_w, idx, axis=0)
+
+
+def sweep_levels(blocks: List[Tuple[int, BlockTensor]],
+                 options: Options, cache: "BlockDeviceCache",
+                 ploidies=None
+                 ) -> Tuple[Dict[Tuple[object, int], np.ndarray],
+                            Dict[Tuple[object, int],
+                                 Tuple[float, float]]]:
+    """Beam + UPEM for every (block, ploidy in ploidies) instance as one
+    wave of asynchronous device dispatch chains: per shape group and
+    level, the beam runs, its traceback assignments stay ON DEVICE and
+    feed the UPEM hill-climb directly (no host hop for the assignment
+    tensors — the remote link's per-pull latency, not compute, dominated
+    the split beam/UPEM waves), and only the refined assignments + MEC
+    stats are pulled, all overlapped. Each level dispatches at its exact
+    ploidy, so per-level device results are bit-identical to
+    phase_instances + refine_instances (padded-read assignment garbage
+    from the device traceback is provably inert: a padded read has zero
+    weights and no covered sites, so it contributes to no count, score,
+    or move — and moves for it are masked by num_reads).
+
+    Returns ({(block, ploidy): refined assignment},
+             {(block, ploidy): (bases, errors)}).
+    """
+    from ..kernels.upem_batch import upem_optimize_device
+
+    import jax.numpy as jnp
+
+    if ploidies is None:
+        ploidies = range(1, options.max_ploidy + 1)
+    groups: Dict[Tuple[int, int], List[Tuple[object, BlockTensor]]] = {}
+    for j, bt in blocks:
+        key = (_bucket_reads(bt.num_reads), _bucket_sites(bt.num_sites))
+        groups.setdefault(key, []).append((j, bt))
+    items = [(ploidy, key, members)
+             for ploidy in ploidies
+             for key, members in groups.items()]
+
+    def _launch(item):
+        ploidy, (r_pad, s_pad), members = item
+        G = len(members)
+        G_pad = 1 << max(0, (G - 1)).bit_length()
+        nreads = np.zeros(G_pad, dtype=np.int32)
+        max_span = 0
+        for g, (j, bt) in enumerate(members):
+            nreads[g] = bt.num_reads
+            max_span = max(max_span, bt.max_read_span())
+        eps = np.full(G_pad, options.epsilon, dtype=np.float32)
+        ids = [j for j, _bt in members]
+        ids += [ids[0]] * (G_pad - G)
+        alleles, weights = cache.gather((r_pad, s_pad), ids)
+        amax = cache.amax[(r_pad, s_pad)]
+        if ploidy == 1:
+            assigns = jnp.zeros((G_pad, r_pad), jnp.int32)
+        else:
+            nparts = np.full(G_pad, ploidy, dtype=np.int32)
+            # Same sliding-window policy as phase_instances.
+            window = round_up(max_span + 128, 256)
+            if window * 4 > s_pad:
+                window = 0
+            result = _dispatch_beam(alleles, weights, nreads, eps,
+                                    nparts, ploidy,
+                                    options.max_number_solns, options,
+                                    window=window, max_alleles=amax)
+            assigns = beam_kernel.traceback_batch(
+                tuple(result)).astype(jnp.int32)
+        best, mec, _diff = upem_optimize_device(
+            alleles, weights, assigns, nreads, eps, ploidy,
+            max_alleles=amax)
+        return members, ploidy, best, mec
+
+    launch_t = time.time()
+    pending = _parallel_launch(_launch, items)
+    timing.add("beam", time.time() - launch_t)
+
+    pull_t = time.time()
+    flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
+    for a in flat:
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+    hosts = _parallel_launch(np.asarray, flat)
+    timing.add("upem", time.time() - pull_t)
+    refined: Dict[Tuple[object, int], np.ndarray] = {}
+    stats: Dict[Tuple[object, int], Tuple[float, float]] = {}
+    for i, (members, ploidy, _b, _m) in enumerate(pending):
+        best = hosts[2 * i]
+        mec = hosts[2 * i + 1]
+        for g, (j, bt) in enumerate(members):
+            refined[(j, ploidy)] = best[g, :bt.num_reads]
+            stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))
+    return refined, stats
 
 
 def refine_instances(blocks: List[Tuple[int, BlockTensor]],
@@ -487,9 +572,15 @@ def phase_instances(blocks: List[Tuple[int, BlockTensor]],
 
 
 def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
-                   beam_width, options: Options, window: int = 0):
+                   beam_width, options: Options, window: int = 0,
+                   max_alleles: int = constants.MAX_ALLELES):
     """Single-device jit+vmap, or shard_map over a ('block',) mesh when
-    several devices are available."""
+    several devices are available.
+
+    max_alleles may be the batch's actual allele-value width (e.g. 2 on
+    biallelic data) instead of the global MAX_ALLELES: count planes for
+    absent alleles are identically zero, so shrinking the A axis is
+    exact while halving the kernel's dominant state traffic."""
     import jax
 
     n_dev = jax.local_device_count()
@@ -500,9 +591,10 @@ def _dispatch_beam(alleles, weights, nreads, eps, nparts, max_ploidy,
         mesh = make_block_mesh(n_dev)
         return beam_search_sharded(mesh, alleles, weights, nreads, eps,
                                    nparts, max_ploidy, beam_width,
-                                   window=window)
+                                   window=window,
+                                   max_alleles=max_alleles)
     # Device arrays returned as-is; callers pull them after launching
     # every group (async dispatch).
     return tuple(beam_kernel.beam_search_batch_mixed(
         alleles, weights, nreads, eps, nparts, max_ploidy, beam_width,
-        window=window))
+        max_alleles=max_alleles, window=window))

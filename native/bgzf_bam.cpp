@@ -583,13 +583,26 @@ int64_t floria_format_vartig_info(int64_t left, int64_t n_sites,
     return w;
 }
 
-// Resolve realignment jobs whose packed query window EXACTLY matches one
-// of the SNP's packed candidate-variant windows (reference window with
-// the allele substituted at the center). An exact match scores the
-// global maximum W*MATCH in the NW kernel, and two variants can never
-// both match (they differ at the center), so the matched allele is the
-// kernel's argmax — no device work needed. out_best[i] = allele or -1.
-// Returns the number resolved.
+// Resolve realignment jobs whose NW argmax is provable from hamming
+// distances alone, without running the DP. With the reference's scores
+// (alignment.rs:16-19: match +1, mismatch -1, gap open -2, extend -1)
+// on equal-length W-base windows:
+//   - a GAPLESS alignment of query vs variant scores exactly W - 2h
+//     (h = hamming distance);
+//   - ANY alignment using gaps scores <= W - 5: equal lengths force
+//     #ins == #del chars (G of each) in >= 2 runs, costing
+//     -(2G + n_runs) <= -5 with at most W - G aligned pairs, so
+//     score <= W - 3G - n_runs <= W - 5.
+// Hence NW(q, v_a) == W - 2*h_a whenever h_a <= 2 (gapless beats every
+// gapped candidate), and any variant with h_b >= 3 scores <= W - 5
+// < W - 4. So if min_a h_a <= 2 the full argmax is decided: it is the
+// first (lowest-index) variant attaining the minimum hamming distance,
+// matching jnp.argmax's first-max tie rule (ties share the same exact
+// score W - 2h). Single-candidate jobs (nal == 1) are trivially 0.
+// Exact window matches are the h == 0 case. out_best[i] = allele or -1
+// (unresolved, needs the NW). Returns the number resolved. Pinned
+// against the exact Gotoh on adversarial repeat/shift windows by
+// tests/test_native_nw.py.
 int64_t floria_realign_exact(const uint8_t* q, const int32_t* si,
                              const int32_t* nal, const uint8_t* var_tab,
                              int64_t n, int32_t max_a, int32_t w2,
@@ -604,13 +617,26 @@ int64_t floria_realign_exact(const uint8_t* q, const int32_t* si,
                 var_tab + static_cast<int64_t>(si[i]) * max_a * w2;
             int8_t best = -1;
             int32_t na = nal[i] < max_a ? nal[i] : max_a;
+            if (na <= 1) {
+                out_best[i] = 0;
+                ++c;
+                continue;
+            }
+            int32_t hmin = 3;  // only h <= 2 is decisive
             for (int32_t a = 0; a < na; ++a) {
-                if (std::memcmp(qi, vars + a * w2, w2) == 0) {
+                const uint8_t* va = vars + a * w2;
+                int32_t h = 0;
+                for (int32_t b = 0; b < w2 && h < hmin; ++b) {
+                    const uint8_t x = qi[b] ^ va[b];
+                    h += ((x & 0xF) != 0) + ((x >> 4) != 0);
+                }
+                if (h < hmin) {  // strict: first-index wins ties
+                    hmin = h;
                     best = static_cast<int8_t>(a);
-                    break;
+                    if (h == 0) break;
                 }
             }
-            out_best[i] = best;
+            out_best[i] = best;  // -1 iff hmin stayed 3
             if (best >= 0) ++c;
         }
         counts[t] = c;
