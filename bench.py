@@ -83,9 +83,16 @@ def measure_kernel(args, quick):
                                                dtype=np.int32), G))
 
     def sweep():
+        # max_alleles=2: the pipeline dispatches at the batch's actual
+        # allele-value width (biallelic here), and the C++ baseline
+        # already runs at max_alleles=2 — apples to apples.
         out = beam_search_batch_mixed(alleles4, weights4, nr4, eps4,
-                                      nparts, max(ploidies), 10)
-        out[0].block_until_ready()
+                                      nparts, max(ploidies), 10,
+                                      max_alleles=2)
+        # Pull a small result: on the remote backend block_until_ready
+        # can return before execution finishes, which would time only
+        # the dispatch; materializing the scores forces the full sweep.
+        np.asarray(out[4])
 
     sweep()  # compile + warm
     t0 = time.time()

@@ -230,7 +230,20 @@ def sort_and_renumber(frags) -> list:
     by (first asc, last desc, counter asc) then rewrite counter_id to the
     vector index so partitions can be stored as index sets.
     """
-    frags = sorted(frags, key=Frag.sort_key)
+    frags = list(frags)
+    if len(frags) > 512:
+        # Vectorized sort: same (first asc, last desc, counter asc) key
+        # as Frag.sort_key without a Python key call per frag.
+        first = np.fromiter((f.first_position for f in frags), np.int64,
+                            count=len(frags))
+        last = np.fromiter((f.last_position for f in frags), np.int64,
+                           count=len(frags))
+        cid = np.fromiter((f.counter_id for f in frags), np.int64,
+                          count=len(frags))
+        order = np.lexsort((cid, -last, first))
+        frags = [frags[i] for i in order]
+    else:
+        frags = sorted(frags, key=Frag.sort_key)
     for i, frag in enumerate(frags):
         frag.counter_id = i
     return frags

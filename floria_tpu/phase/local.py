@@ -199,11 +199,26 @@ def phase_contigs_blocks(per_contig, options: Options
     # device compute exceeds the saved link latency.)
     prev_assign: Dict[object, np.ndarray] = {}
     active = blocks
+    # Optional depth-1 speculation (FLORIA_SWEEP_SPEC=1): level p+1
+    # launches for the PRE-decision active set while level p's results
+    # are in flight. Per-block results are independent of batch
+    # composition (pinned by the mixed-ploidy tests), so decisions and
+    # outputs are identical either way. Default OFF: on the remote
+    # runtime result pulls drain behind queued speculative execution,
+    # so hiding the pull latency bought nothing (measured equal within
+    # noise) while burning the discarded level's compute.
+    import os as _os
+    speculate = _os.environ.get("FLORIA_SWEEP_SPEC", "0") != "0"
+    pending_next = None
     for ploidy in range(1, max_p + 1):
         if not active:
             break
-        refined_p, stats_p = sweep_levels(active, options, cache,
-                                          ploidies=[ploidy])
+        pending_cur = (pending_next if pending_next is not None else
+                       _sweep_launch(active, options, cache, [ploidy]))
+        pending_next = (_sweep_launch(active, options, cache,
+                                      [ploidy + 1])
+                        if speculate and ploidy < max_p else None)
+        refined_p, stats_p = _sweep_pull(pending_cur)
         next_active = []
         for key, bt in active:
             good, bad = stats_p[(key, ploidy)]
@@ -337,6 +352,20 @@ def sweep_levels(blocks: List[Tuple[int, BlockTensor]],
 
     if ploidies is None:
         ploidies = range(1, options.max_ploidy + 1)
+    pending = _sweep_launch(blocks, options, cache, ploidies)
+    return _sweep_pull(pending)
+
+
+def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
+                  ploidies) -> list:
+    """Async-launch the chained beam->UPEM dispatches for the given
+    levels; the returned pending list is consumed by _sweep_pull. The
+    split lets the adaptive sweep launch level p+1 speculatively while
+    level p's results are still in flight."""
+    from ..kernels.upem_batch import upem_optimize_device
+
+    import jax.numpy as jnp
+
     groups: Dict[Tuple[int, int], List[Tuple[object, BlockTensor]]] = {}
     for j, bt in blocks:
         key = (_bucket_reads(bt.num_reads), _bucket_sites(bt.num_sites))
@@ -381,12 +410,18 @@ def sweep_levels(blocks: List[Tuple[int, BlockTensor]],
     launch_t = time.time()
     pending = _parallel_launch(_launch, items)
     timing.add("beam", time.time() - launch_t)
+    for _m, _p, best, mec in pending:
+        for a in (best, mec):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+    return pending
 
+
+def _sweep_pull(pending: list) -> Tuple[
+        Dict[Tuple[object, int], np.ndarray],
+        Dict[Tuple[object, int], Tuple[float, float]]]:
     pull_t = time.time()
     flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
-    for a in flat:
-        if hasattr(a, "copy_to_host_async"):
-            a.copy_to_host_async()
     hosts = _parallel_launch(np.asarray, flat)
     timing.add("upem", time.time() - pull_t)
     refined: Dict[Tuple[object, int], np.ndarray] = {}
