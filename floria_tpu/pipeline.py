@@ -113,11 +113,23 @@ def run(options: Options) -> None:
         eligible.append(contig)
 
     batch = max(1, options.contig_batch)
+    # Depth-1 group pipelining: each group's host-side join/outputs run
+    # on a worker thread while the NEXT group ingests and phases (whose
+    # device waits leave the CPU mostly idle). Join threads are chained
+    # one-at-a-time in group order, so the shared contig_ploidy_info.tsv
+    # appends — and all outputs — land in the same deterministic order
+    # as the sequential loop. Disabled under --keep-going, whose
+    # per-group retry isolation needs errors raised inside their own
+    # group's call.
+    pipelined = not options.keep_going
+    prev_join: Optional[object] = None
     for lo in range(0, len(eligible), batch):
         group = eligible[lo:lo + batch]
         try:
-            _run_group(group, main_bam, short_bam, vcf_profile, fasta,
-                       options)
+            prev_join = _run_group(group, main_bam, short_bam,
+                                   vcf_profile, fasta, options,
+                                   prev_join=prev_join,
+                                   async_join=pipelined)
         except Exception:
             if not options.keep_going or len(group) == 1:
                 if not options.keep_going:
@@ -135,12 +147,19 @@ def run(options: Options) -> None:
                     log.exception(
                         "Contig %s failed; --keep-going continues.",
                         contig)
+    if prev_join is not None:
+        prev_join()
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 
 def _run_group(group: List[str], main_bam, short_bam,
                vcf_profile: VcfProfile, fasta: Optional[FastaFile],
-               options: Options) -> None:
+               options: Options, prev_join=None, async_join: bool = False):
+    """Process one contig group. With async_join, the per-contig
+    join/outputs stage runs on a worker thread and a wait-callable is
+    returned (call it to propagate completion/errors); prev_join (the
+    previous group's callable) is awaited right before this group's
+    join starts, keeping output order sequential."""
     from .kernels.realign import RealignPool, flush_pool
 
     t0 = time.time()
@@ -204,7 +223,7 @@ def _run_group(group: List[str], main_bam, short_bam,
             frags_without_snps=frags_without_snps,
             short_frags=short_frags, debug_dir=debug_dir))
     if not states:
-        return
+        return prev_join
     timing.add("ingest.finalize", time.time() - fin_t)
     log.info("Reading inputs, realigning time taken %.2fs",
              time.time() - t0)
@@ -216,10 +235,38 @@ def _run_group(group: List[str], main_bam, short_bam,
          for st in states], options)
     log.info("Phasing time taken %.2fs", time.time() - phasing_t)
 
-    join_t = time.time()
-    for st in states:
-        _finish_contig(st, results_by_contig.get(st.contig, []), options)
-    timing.add("join_outputs", time.time() - join_t)
+    if prev_join is not None:
+        prev_join()
+
+    def _join_all():
+        join_t = time.time()
+        for st in states:
+            _finish_contig(st, results_by_contig.get(st.contig, []),
+                           options)
+        timing.add("join_outputs", time.time() - join_t)
+
+    if not async_join:
+        _join_all()
+        return None
+    import threading
+
+    box: Dict[str, BaseException] = {}
+
+    def _worker():
+        try:
+            _join_all()
+        except BaseException as e:  # re-raised at the wait point
+            box["err"] = e
+
+    th = threading.Thread(target=_worker, daemon=True)
+    th.start()
+
+    def _wait():
+        th.join()
+        if "err" in box:
+            raise box["err"]
+
+    return _wait
 
 
 def _finish_contig(st: _ContigState, results: List[LocalBlockResult],

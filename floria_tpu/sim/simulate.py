@@ -117,6 +117,60 @@ def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
                     read_strains=read_strains)
 
 
+def simulate_multi(cfgs: Sequence[SimConfig], out_dir: str
+                   ) -> List[SimTruth]:
+    """Simulate several contigs (each its own community with unique
+    contig_name) and merge them into one coordinate-sorted
+    sim.bam/sim.vcf/sim.fa under out_dir — a metagenome-shaped input
+    for multi-contig tests and benchmarks."""
+    import shutil
+    import struct as _struct
+
+    from ..ingest.bam import BamFile
+    from ..ingest.fasta import FastaFile
+
+    os.makedirs(out_dir, exist_ok=True)
+    truths: List[SimTruth] = []
+    refs: List[Tuple[str, int]] = []
+    fastas: Dict[str, bytes] = {}
+    vcf_body: List[str] = []
+    records: List[Tuple[int, int, bytes]] = []
+    for tid, cfg in enumerate(cfgs):
+        sub = os.path.join(out_dir, f".sub{tid}")
+        truths.append(simulate(cfg, sub))
+        refs.append((cfg.contig_name, cfg.contig_len))
+        bf = BamFile(os.path.join(sub, "sim.bam"))
+        for rec in bf.fetch(cfg.contig_name):
+            # next_refID / next_pos sit at raw offsets 20/24 (the raw
+            # body starts at refID).
+            nrid, npos = _struct.unpack_from("<ii", rec.raw, 20)
+            cigar = [(int(ln), "MIDNSHP=X"[int(op)])
+                     for op, ln in zip(*rec.cigar_ops())]
+            records.append((tid, rec.pos, bamwrite.encode_record(
+                rec.qname, rec.flag, tid, rec.pos, rec.mapq, cigar,
+                rec.seq.tobytes(), list(rec.qual),
+                next_tid=(tid if nrid >= 0 else -1), next_pos=npos,
+                tlen=rec.tlen)))
+        fastas[cfg.contig_name] = FastaFile(
+            os.path.join(sub, "sim.fa")).fetch(cfg.contig_name)
+        for line in open(os.path.join(sub, "sim.vcf")):
+            if not line.startswith("#"):
+                vcf_body.append(line)
+        shutil.rmtree(sub)
+
+    records.sort(key=lambda t: (t[0], t[1]))
+    bamwrite.write_bam(os.path.join(out_dir, "sim.bam"), refs,
+                       [r for _t, _p, r in records])
+    write_fasta(os.path.join(out_dir, "sim.fa"), fastas)
+    with open(os.path.join(out_dir, "sim.vcf"), "w") as vf:
+        vf.write("##fileformat=VCFv4.2\n")
+        for name, length in refs:
+            vf.write(f"##contig=<ID={name},length={length}>\n")
+        vf.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        vf.writelines(vcf_body)
+    return truths
+
+
 def _mutate(rng: np.random.Generator, seq: np.ndarray,
             error_rate: float) -> np.ndarray:
     """Substitution errors only (keeps CIGAR a single match op)."""
