@@ -55,12 +55,14 @@ class FragCsr:
             self.off[i + 1] = self.off[i] + len(f.snps)
         if n:
             self.snps = np.concatenate([f.snps for f in frags])
-            self.alleles = np.concatenate(
-                [f.alleles for f in frags]).astype(np.int64)
+            # int8 storage (allele values < MAX_ALLELES): an int64
+            # upcast would cost 8x the memory and, on VMs where fresh
+            # pages fault at ~30 MB/s, whole seconds per contig.
+            self.alleles = np.concatenate([f.alleles for f in frags])
             self.weights = np.concatenate([f.weights for f in frags])
         else:
             self.snps = np.zeros(0, np.int64)
-            self.alleles = np.zeros(0, np.int64)
+            self.alleles = np.zeros(0, np.int8)
             self.weights = np.zeros(0, np.float32)
 
     def gather(self, fids: np.ndarray):
@@ -96,27 +98,39 @@ class FragCsr:
         sel = (snps >= lo) & (snps <= hi)
         return snps[sel], alleles[sel], weights[sel], ridx[sel]
 
+    def counts_range(self, fids: np.ndarray, lo: int, hi: int,
+                     weighted: bool):
+        """(counts f64 [S, A], exist i32 [S, A]) consensus accumulation
+        over [lo, hi] — native single pass (nothing materialized), with
+        the gather+bincount path as the bit-identical fallback (both
+        accumulate in (frag order, ascending SNP) element order)."""
+        from .. import constants, native
+
+        A = constants.MAX_ALLELES
+        fids = np.asarray(fids, dtype=np.int64)
+        out = native.csr_counts(self.snps, self.alleles, self.weights,
+                                self.off, fids, int(lo), int(hi), A,
+                                weighted)
+        if out is not None:
+            return out
+        S = hi - lo + 1
+        snps, alleles, weights, _r = self.gather_range(fids, lo, hi)
+        flat = (snps - lo) * A + alleles
+        if weighted:
+            counts = np.bincount(flat, weights=weights,
+                                 minlength=S * A)
+        else:
+            counts = np.bincount(flat, minlength=S * A).astype(np.float64)
+        exist = np.bincount(flat, minlength=S * A).astype(np.int32)
+        return counts.reshape(S, A), exist.reshape(S, A)
+
     def window_counts(self, fids: np.ndarray, lo: int, hi: int,
                       weighted: bool) -> np.ndarray:
         """[hi-lo+1, A] float64 allele counts over the given frags
         restricted to [lo, hi] — the common consensus accumulation
         (1 unit or phred weight per entry), addition order identical to
         the per-frag loops it replaces."""
-        from .. import constants
-
-        A = constants.MAX_ALLELES
-        S = hi - lo + 1
-        snps, alleles, weights, _r = self.gather_range(fids, lo, hi)
-        flat = (snps - lo) * A + alleles
-        # bincount accumulates in element order like np.add.at (both walk
-        # the input sequentially), so the float result is bit-identical —
-        # at ~20x the speed.
-        if weighted:
-            counts = np.bincount(flat, weights=weights,
-                                 minlength=S * A)
-        else:
-            counts = np.bincount(flat, minlength=S * A).astype(np.float64)
-        return counts.reshape(S, A)
+        return self.counts_range(fids, lo, hi, weighted)[0]
 
     def span(self, fids: np.ndarray):
         """(lo, hi) SNP range covered by the given frags, or (None, None)
@@ -145,15 +159,11 @@ def build_hap_node(frags: Sequence[Frag], frag_ids: np.ndarray,
     counts = np.zeros((S, A), dtype=np.float64)
     exist = np.zeros((S, A), dtype=np.int32)
     if csr is not None:
-        snps, alleles, weights, _r = csr.gather_range(frag_ids, lo, hi)
-        # bincount accumulates in element order = (frag order, ascending
-        # SNP) — the same sequence as the per-frag loop below, so floats
-        # are bit-identical.
-        flat = (snps - lo) * A + alleles
-        counts = np.bincount(flat, weights=weights,
-                             minlength=S * A).reshape(S, A)
-        exist = np.bincount(flat, minlength=S * A).astype(
-            np.int32).reshape(S, A)
+        # Accumulation order = (frag order, ascending SNP) — the same
+        # sequence as the per-frag loop below, so floats are
+        # bit-identical.
+        counts, exist = csr.counts_range(frag_ids, lo, hi,
+                                         weighted=True)
     else:
         for fid in frag_ids:
             f = frags[int(fid)]

@@ -290,20 +290,23 @@ class SnpRealigner:
                                starts, pay_offs[out_rec + 1],
                                out_snp.astype(np.int64) + 1, rec_targets)
             return
-        kept, packed, si, nal, snp_kept = res
+        _kept, packed, si, nal, snp_kept, rec_counts = res
         if not len(si):
             return
         pool = self.pool
         pool._q.append(packed)
         pool._si.append(si)
         pool._nal.append(nal)
-        # Per-record split of the compacted kept sites: record slices
-        # index the input sites, so the kept-array bounds are the
-        # cumulative kept counts at the slice edges.
-        ck = np.zeros(len(kept) + 1, np.int64)
-        np.cumsum(kept, out=ck[1:])
+        # Per-record split of the compacted kept sites: sites are
+        # record-major, so record r's kept sites live at
+        # [offs[r], offs[r+1]) of the compacted arrays (the builder
+        # tallies per-record kept counts — a host cumsum over the tens
+        # of millions of per-site flags costs more).
+        offs = np.zeros(len(rec_counts) + 1, np.int64)
+        np.cumsum(rec_counts, out=offs[1:])
         for frag, sl in rec_targets:
-            o, e = int(ck[sl.start]), int(ck[sl.stop])
+            rid = int(out_rec[sl.start])
+            o, e = int(offs[rid]), int(offs[rid + 1])
             if e > o:
                 pool._targets.append((frag, snp_kept[o:e]))
 

@@ -81,19 +81,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int32]
     lib.floria_csr_gather_range.restype = ctypes.c_int64
     lib.floria_csr_gather_range.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.floria_csr_counts.restype = ctypes.c_int64
+    lib.floria_csr_counts.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     lib.floria_dedup_jobs.restype = ctypes.c_int64
     lib.floria_dedup_jobs.argtypes = [
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
@@ -188,21 +198,48 @@ def csr_gather_range(snps: np.ndarray, alleles: np.ndarray,
                      ) -> Optional[tuple]:
     """(snps, alleles, weights, ridx) of the in-range [lo, hi] sites of
     the given frags, concatenated in frag order; None without the native
-    lib."""
+    lib. A counting pass sizes the outputs exactly — a worst-case
+    total-sites buffer is gigabytes for contig-spanning parts, and
+    fresh-page faults dwarf the gather itself."""
     lib = get_lib()
     if lib is None:
         return None
     fids = np.ascontiguousarray(fids, np.int64)
-    lens = off[fids + 1] - off[fids]
-    cap = int(lens.sum())
+    cap = int(lib.floria_csr_gather_range(
+        snps, alleles, weights, off, fids, len(fids), lo, hi,
+        None, None, None, None))
     out_s = np.empty(cap, np.int64)
-    out_a = np.empty(cap, np.int64)
+    out_a = np.empty(cap, np.int8)
     out_w = np.empty(cap, np.float32)
-    out_r = np.empty(cap, np.int64)
-    n = lib.floria_csr_gather_range(snps, alleles, weights, off, fids,
-                                    len(fids), lo, hi, out_s, out_a,
-                                    out_w, out_r)
+    out_r = np.empty(cap, np.int32)
+    n = lib.floria_csr_gather_range(
+        snps, alleles, weights, off, fids, len(fids), lo, hi,
+        out_s.ctypes.data_as(ctypes.c_void_p),
+        out_a.ctypes.data_as(ctypes.c_void_p),
+        out_w.ctypes.data_as(ctypes.c_void_p),
+        out_r.ctypes.data_as(ctypes.c_void_p))
     return out_s[:n], out_a[:n], out_w[:n], out_r[:n]
+
+
+def csr_counts(snps: np.ndarray, alleles: np.ndarray,
+               weights: np.ndarray, off: np.ndarray, fids: np.ndarray,
+               lo: int, hi: int, A: int, weighted: bool
+               ) -> Optional[tuple]:
+    """Windowed consensus accumulation without materializing gathered
+    rows: (counts f64 [S, A], exist i32 [S, A]) over [lo, hi], addition
+    order identical to bincount over the gathered rows. None without
+    the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fids = np.ascontiguousarray(fids, np.int64)
+    S = hi - lo + 1
+    counts = np.zeros((S, A), np.float64)
+    exist = np.zeros((S, A), np.int32)
+    lib.floria_csr_counts(snps, alleles, weights, off, fids, len(fids),
+                          lo, hi, A, 1 if weighted else 0,
+                          counts.reshape(-1), exist.reshape(-1))
+    return counts, exist
 
 
 def dedup_jobs(q: np.ndarray, si: np.ndarray
@@ -304,6 +341,7 @@ def realign_jobs(seq_buf: np.ndarray, rec: np.ndarray, qpos: np.ndarray,
     si = np.empty(n, np.int32)
     nal = np.empty(n, np.int32)
     snp_kept = np.empty(n, np.int32)
+    rec_counts = np.zeros(len(pay_offs) - 1, np.int32)
     nk = lib.floria_realign_jobs(
         np.ascontiguousarray(seq_buf, np.uint8),
         np.ascontiguousarray(rec, np.int32),
@@ -312,10 +350,10 @@ def realign_jobs(seq_buf: np.ndarray, rec: np.ndarray, qpos: np.ndarray,
         np.ascontiguousarray(pay_offs, np.int64),
         np.ascontiguousarray(genome_pos, np.int64), ref_len,
         np.ascontiguousarray(n_alleles, np.int32), flank, tab_base,
-        kept, packed.reshape(-1), si, nal, snp_kept,
+        kept, packed.reshape(-1), si, nal, snp_kept, rec_counts,
         os.cpu_count() or 1)
     return (kept.view(bool), packed[:nk], si[:nk], nal[:nk],
-            snp_kept[:nk])
+            snp_kept[:nk], rec_counts)
 
 
 def pack_windows(seq_buf: np.ndarray, qpos: np.ndarray,

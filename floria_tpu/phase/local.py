@@ -308,20 +308,28 @@ class BlockDeviceCache:
                 self.rows[j] = b
             self.amax[(r_pad, s_pad)] = min(
                 constants.MAX_ALLELES, max(2, int(alleles.max()) + 1))
+            # Resident cache stays int8 alleles + uint8 quals (2 B/cell)
+            # — f32 weights materialize per DISPATCH at gather time, so
+            # resident memory doesn't scale with contig size times 4.
             dev_a = jax.device_put(alleles)
-            dev_w = beam_kernel.quals_to_weights(jax.device_put(quals))
-            self.dev[(r_pad, s_pad)] = (dev_a, dev_w)
+            dev_q = jax.device_put(quals)
+            self.dev[(r_pad, s_pad)] = (dev_a, dev_q)
         timing.add("beam.cache_upload", time.time() - up_t)
 
     def gather(self, key: Tuple[int, int], block_ids: List[object]):
         """Device-side [G, r_pad, s_pad] (alleles, weights) for the
-        given blocks, in order (duplicates fine)."""
+        given blocks, in order (duplicates fine). Weights reconstruct
+        from the cached uint8 quals on device (gather-then-convert ==
+        convert-then-gather bitwise: the conversion is an elementwise
+        table lookup)."""
         import jax.numpy as jnp
 
-        dev_a, dev_w = self.dev[key]
+        dev_a, dev_q = self.dev[key]
         idx = jnp.asarray(
             np.array([self.rows[j] for j in block_ids], np.int32))
-        return jnp.take(dev_a, idx, axis=0), jnp.take(dev_w, idx, axis=0)
+        return (jnp.take(dev_a, idx, axis=0),
+                beam_kernel.quals_to_weights(
+                    jnp.take(dev_q, idx, axis=0)))
 
 
 def sweep_levels(blocks: List[Tuple[int, BlockTensor]],
@@ -370,9 +378,21 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     for j, bt in blocks:
         key = (_bucket_reads(bt.num_reads), _bucket_sites(bt.num_sites))
         groups.setdefault(key, []).append((j, bt))
-    items = [(ploidy, key, members)
-             for ploidy in ploidies
-             for key, members in groups.items()]
+    # Cap each dispatch's batch: a whole-chromosome contig can put
+    # thousands of blocks in one shape bucket, and beam HBM temporaries
+    # scale with G x r_pad x s_pad (measured OOM at G_pad=2048, R=320,
+    # S=2048 — 23 GB of temps vs 15.75 GB HBM). 2^26 read-site cells
+    # per dispatch (pads to 128 blocks at R=320, S=2048 — the largest
+    # measured-good shape) keeps temps a few GB; chunks are
+    # per-instance independent, so splitting is output-invariant
+    # (pinned by the batching tests).
+    cap_cells = 1 << 26
+    items = []
+    for ploidy in ploidies:
+        for key, members in groups.items():
+            g_cap = max(1, cap_cells // (key[0] * key[1]))
+            for lo in range(0, len(members), g_cap):
+                items.append((ploidy, key, members[lo:lo + g_cap]))
 
     def _launch(item):
         ploidy, (r_pad, s_pad), members = item

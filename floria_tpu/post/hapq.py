@@ -67,15 +67,10 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
         lo, hi = csr.span(fids)
         if lo is None:
             return {}
-        A = constants.MAX_ALLELES
-        S = hi - lo + 1
-        covered = np.zeros(S, dtype=bool)
-        snps, alleles, weights, _r = csr.gather_range(fids, lo, hi)
-        # bincount == np.add.at bit-for-bit (both accumulate in element
-        # order), ~20x faster.
-        acc = np.bincount((snps - lo) * A + alleles, weights=weights,
-                          minlength=S * A).reshape(S, A)
-        covered[snps - lo] = True
+        # Native single-pass accumulation (== np.add.at bit-for-bit:
+        # both walk entries in element order).
+        acc, exist = csr.counts_range(fids, lo, hi, weighted=True)
+        covered = exist.sum(axis=1) > 0
         cons = acc.argmax(axis=1)
         return {int(p) + lo: (int(cons[p]), acc[p])
                 for p in np.flatnonzero(covered)}

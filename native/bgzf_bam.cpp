@@ -213,7 +213,7 @@ int64_t floria_realign_jobs(
     const int64_t* genome_pos, int64_t ref_len,
     const int32_t* n_alleles, int32_t flank, int32_t tab_base,
     uint8_t* kept, uint8_t* packed, int32_t* si, int32_t* nal,
-    int32_t* snp_kept, int32_t n_threads) {
+    int32_t* snp_kept, int32_t* rec_counts, int32_t n_threads) {
     static uint8_t enc[256];
     static bool init = false;
     if (!init) {
@@ -274,6 +274,11 @@ int64_t floria_realign_jobs(
         pass2(0);
         for (auto& th : threads) th.join();
     }
+    // Per-record kept counts (caller-zeroed): the caller's per-record
+    // split needs cumulative kept offsets, and a host cumsum over the
+    // 10-50M-site kept mask costs more than this sequential tally.
+    if (rec_counts != nullptr)
+        for (int64_t k = 0; k < n; ++k) rec_counts[rec[k]] += kept[k];
     return offs[T];
 }
 
@@ -470,10 +475,25 @@ int64_t floria_parse_vcf(const uint8_t* data, int64_t len,
 // in the hap-graph join, where blocks touch only ~1/3 of their reads'
 // sites. Returns the number of rows written.
 int64_t floria_csr_gather_range(
-    const int64_t* snps, const int64_t* alleles, const float* weights,
+    const int64_t* snps, const int8_t* alleles, const float* weights,
     const int64_t* off, const int64_t* fids, int64_t n_fids, int64_t lo,
-    int64_t hi, int64_t* out_snps, int64_t* out_alleles,
-    float* out_weights, int64_t* out_ridx) {
+    int64_t hi, int64_t* out_snps, int8_t* out_alleles,
+    float* out_weights, int32_t* out_ridx) {
+    // Counting mode (null outputs): exact in-range total via two binary
+    // searches per frag, so the Python wrapper can allocate exact-size
+    // outputs instead of a worst-case total-sites buffer (gigabytes for
+    // contig-spanning parts, and fresh-page faults dwarf the gather).
+    if (out_snps == nullptr) {
+        int64_t w = 0;
+        for (int64_t k = 0; k < n_fids; ++k) {
+            int64_t f = fids[k];
+            int64_t a = off[f], b = off[f + 1];
+            int64_t s = a + lower_bound_i64(snps + a, b - a, lo);
+            int64_t e = a + lower_bound_i64(snps + a, b - a, hi + 1);
+            w += e - s;
+        }
+        return w;
+    }
     int64_t w = 0;
     for (int64_t k = 0; k < n_fids; ++k) {
         int64_t f = fids[k];
@@ -483,7 +503,36 @@ int64_t floria_csr_gather_range(
             out_snps[w] = snps[i];
             out_alleles[w] = alleles[i];
             out_weights[w] = weights[i];
-            out_ridx[w] = k;
+            out_ridx[w] = static_cast<int32_t>(k);
+            ++w;
+        }
+    }
+    return w;
+}
+
+// Windowed consensus accumulation without materializing the gathered
+// rows: counts[(s-lo)*A + a] += weight (or 1.0) and exist += 1 over the
+// in-range sites of the given frags, in (frag order, ascending SNP)
+// order — the exact addition sequence of np.bincount over the gathered
+// rows (both widen each float32 weight to double then accumulate
+// sequentially), so results are bit-identical to the numpy path.
+// out_counts/out_exist must be zeroed by the caller. Returns the entry
+// count.
+int64_t floria_csr_counts(
+    const int64_t* snps, const int8_t* alleles, const float* weights,
+    const int64_t* off, const int64_t* fids, int64_t n_fids, int64_t lo,
+    int64_t hi, int32_t A, int32_t weighted, double* out_counts,
+    int32_t* out_exist) {
+    int64_t w = 0;
+    for (int64_t k = 0; k < n_fids; ++k) {
+        int64_t f = fids[k];
+        int64_t a = off[f], b = off[f + 1];
+        int64_t s = a + lower_bound_i64(snps + a, b - a, lo);
+        for (int64_t i = s; i < b && snps[i] <= hi; ++i) {
+            const int64_t slot = (snps[i] - lo) * A + alleles[i];
+            out_counts[slot] += weighted
+                ? static_cast<double>(weights[i]) : 1.0;
+            ++out_exist[slot];
             ++w;
         }
     }

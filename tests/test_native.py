@@ -131,7 +131,9 @@ def test_native_realign_jobs_matches_numpy(lib):
     res = native.realign_jobs(seq, rec, qpos, snp, pay_offs, genome_pos,
                               ref_len, n_alleles, FLANK, tab_base=3)
     assert res is not None
-    kept, packed, si, nal, snp_kept = res
+    kept, packed, si, nal, snp_kept, rec_counts = res
+    assert (rec_counts == np.bincount(rec[kept],
+                                      minlength=n_rec)).all()
 
     qpos_global = qpos.astype(np.int64) + pay_offs[rec]
     gn = genome_pos[snp]
