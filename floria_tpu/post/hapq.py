@@ -58,22 +58,22 @@ def errors_cov_from_frags(frags: Sequence[Frag], frag_ids,
     return cov, err, total_err, total_support
 
 
-def _consensus_map(frags: Sequence[Frag], frag_ids,
-                   csr=None) -> Dict[int, Tuple[int, np.ndarray]]:
-    """snp -> (consensus allele, counts[A]) phred-weighted; accumulator
-    spans only the part's own SNP range (O(part span), not O(contig))."""
+def _consensus_arrays(frags: Sequence[Frag], frag_ids, csr=None):
+    """(lo, consensus alleles [S], covered [S], counts [S, A])
+    phred-weighted over the part's own SNP span, or None without sites.
+    Array form of the reference's per-part consensus map — the pairwise
+    comparisons below intersect windows instead of walking dicts
+    (identical same/diff counts: they are set cardinalities)."""
     if csr is not None:
         fids = fids_array(frag_ids)
         lo, hi = csr.span(fids)
         if lo is None:
-            return {}
+            return None
         # Native single-pass accumulation (== np.add.at bit-for-bit:
         # both walk entries in element order).
         acc, exist = csr.counts_range(fids, lo, hi, weighted=True)
         covered = exist.sum(axis=1) > 0
-        cons = acc.argmax(axis=1)
-        return {int(p) + lo: (int(cons[p]), acc[p])
-                for p in np.flatnonzero(covered)}
+        return lo, acc.argmax(axis=1), covered, acc
     lo = None
     hi = None
     for fid in frag_ids:
@@ -83,7 +83,7 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
             lo = flo if lo is None else min(lo, flo)
             hi = fhi if hi is None else max(hi, fhi)
     if lo is None:
-        return {}
+        return None
     acc = np.zeros((hi - lo + 1, constants.MAX_ALLELES))
     covered = np.zeros(hi - lo + 1, dtype=bool)
     for fid in frag_ids:
@@ -91,7 +91,17 @@ def _consensus_map(frags: Sequence[Frag], frag_ids,
         # one site per SNP per frag -> fancy-index add is exact
         acc[f.snps - lo, f.alleles] += f.weights
         covered[f.snps - lo] = True
-    cons = acc.argmax(axis=1)
+    return lo, acc.argmax(axis=1), covered, acc
+
+
+def _consensus_map(frags: Sequence[Frag], frag_ids,
+                   csr=None) -> Dict[int, Tuple[int, np.ndarray]]:
+    """snp -> (consensus allele, counts[A]) phred-weighted; accumulator
+    spans only the part's own SNP range (O(part span), not O(contig))."""
+    out = _consensus_arrays(frags, frag_ids, csr)
+    if out is None:
+        return {}
+    lo, cons, covered, acc = out
     return {int(p) + lo: (int(cons[p]), acc[p])
             for p in np.flatnonzero(covered)}
 
@@ -138,7 +148,7 @@ def get_hapq(parts: List[Set[int]], ranges: List[Tuple[int, int]],
         errs.append(err)
     avg_err = error / weight if weight else float("nan")
 
-    consensus = [_consensus_map(frags, ids, csr=csr) for ids in parts]
+    consensus = [_consensus_arrays(frags, ids, csr=csr) for ids in parts]
     overlaps = find_overlapping(ranges, 0.05)
     hapqs: List[int] = []
     purities: List[float] = []
@@ -146,14 +156,19 @@ def get_hapq(parts: List[Set[int]], ranges: List[Tuple[int, int]],
         max_penalty = 0.0
         for (j, ol) in overlaps.get(i, []):
             same = diff = 0.0
-            for p, (cons1, _c1) in consensus[i].items():
-                other = consensus[j].get(p)
-                if other is None:
-                    continue
-                if cons1 == other[0]:
-                    same += 1.0
-                else:
-                    diff += 1.0
+            a, b = consensus[i], consensus[j]
+            if a is not None and b is not None:
+                lo_a, cons_a, cov_a, _ = a
+                lo_b, cons_b, cov_b, _ = b
+                lo = max(lo_a, lo_b)
+                hi = min(lo_a + len(cons_a), lo_b + len(cons_b)) - 1
+                if hi >= lo:
+                    ca = cons_a[lo - lo_a:hi - lo_a + 1]
+                    cb = cons_b[lo - lo_b:hi - lo_b + 1]
+                    m = (cov_a[lo - lo_a:hi - lo_a + 1]
+                         & cov_b[lo - lo_b:hi - lo_b + 1])
+                    same = float((m & (ca == cb)).sum())
+                    diff = float(m.sum()) - same
             dist = diff / (same + diff) if (same + diff) else 1.0
             if ol * (1.0 - dist) > max_penalty:
                 max_penalty = ol * (1.0 - dist)
