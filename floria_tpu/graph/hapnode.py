@@ -99,11 +99,14 @@ class FragCsr:
         return snps[sel], alleles[sel], weights[sel], ridx[sel]
 
     def counts_range(self, fids: np.ndarray, lo: int, hi: int,
-                     weighted: bool):
-        """(counts f64 [S, A], exist i32 [S, A]) consensus accumulation
-        over [lo, hi] — native single pass (nothing materialized), with
-        the gather+bincount path as the bit-identical fallback (both
-        accumulate in (frag order, ascending SNP) element order)."""
+                     weighted: bool, need_exist: bool = True):
+        """(counts f64 [S, A], exist i32 [S, A] or None) consensus
+        accumulation over [lo, hi] — native single pass (nothing
+        materialized), with the gather+bincount path as the
+        bit-identical fallback (both accumulate in (frag order,
+        ascending SNP) element order). need_exist=False lets the
+        fallback skip the second bincount for callers that discard it
+        (the native pass tallies both for free)."""
         from .. import constants, native
 
         A = constants.MAX_ALLELES
@@ -121,8 +124,9 @@ class FragCsr:
                                  minlength=S * A)
         else:
             counts = np.bincount(flat, minlength=S * A).astype(np.float64)
-        exist = np.bincount(flat, minlength=S * A).astype(np.int32)
-        return counts.reshape(S, A), exist.reshape(S, A)
+        exist = (np.bincount(flat, minlength=S * A).astype(np.int32)
+                 .reshape(S, A) if need_exist else None)
+        return counts.reshape(S, A), exist
 
     def window_counts(self, fids: np.ndarray, lo: int, hi: int,
                       weighted: bool) -> np.ndarray:
@@ -130,7 +134,8 @@ class FragCsr:
         restricted to [lo, hi] — the common consensus accumulation
         (1 unit or phred weight per entry), addition order identical to
         the per-frag loops it replaces."""
-        return self.counts_range(fids, lo, hi, weighted)[0]
+        return self.counts_range(fids, lo, hi, weighted,
+                                 need_exist=False)[0]
 
     def span(self, fids: np.ndarray):
         """(lo, hi) SNP range covered by the given frags, or (None, None)

@@ -178,17 +178,17 @@ def read_header_references(path: str) -> List[str]:
         def more(need: int) -> bool:
             nonlocal pos, data
             while len(data) < need and pos < len(raw):
+                # Feed <= 64 KiB slices until this member ends, counting
+                # the bytes ACTUALLY fed (a fixed 64 KiB step would
+                # overshoot when the member ends within the file's final
+                # slice, jumping past later members).
                 d = zlib.decompressobj(wbits=31)
-                chunks.append(d.decompress(raw[pos:pos + (1 << 16)]))
-                # BGZF members are <= 64 KiB compressed; feed until this
-                # member ends, then resume at the next one.
-                fed = 1 << 16
+                fed = 0
                 while not d.eof and pos + fed < len(raw):
-                    chunks.append(d.decompress(raw[pos + fed:pos + fed
-                                                   + (1 << 16)]))
-                    fed += 1 << 16
-                pos += (fed if d.eof else len(raw) - pos) - len(
-                    d.unused_data)
+                    chunk = raw[pos + fed:pos + fed + (1 << 16)]
+                    chunks.append(d.decompress(chunk))
+                    fed += len(chunk)
+                pos += fed - len(d.unused_data)
                 data = b"".join(chunks)
             return len(data) >= need
 

@@ -24,23 +24,53 @@ _lib = None
 _tried = False
 
 
+def _lib_stale() -> bool:
+    """True when any native source is newer than the built .so — a
+    stale library would bind old symbols/ABIs and silently (or loudly)
+    misbehave."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) \
+                    > so_mtime:
+                return True
+    return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    if _lib_stale():
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         except (subprocess.SubprocessError, OSError) as e:
             log.debug("native build unavailable: %s", e)
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as e:
         log.debug("native load failed: %s", e)
         return None
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        # Symbols missing (e.g. a stale prebuilt .so that couldn't be
+        # rebuilt): fall back to the pure-Python paths everywhere
+        # rather than crashing at first native call.
+        log.warning("native library out of date (%s); using pure-Python "
+                    "fallbacks", e)
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     lib.floria_bgzf_inflate.restype = ctypes.c_int64
     lib.floria_bgzf_inflate.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
@@ -153,8 +183,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
-    _lib = lib
-    return _lib
 
 
 def bgzf_inflate(data: bytes) -> Optional[bytes]:

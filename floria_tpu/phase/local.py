@@ -193,7 +193,7 @@ def phase_contigs_blocks(per_contig, options: Options
     # per-block early exit (graph_processing.rs:198-252): ploidy p runs
     # only for blocks still undecided after p-1, at its EXACT ploidy.
     # Each level is ONE wave of chained beam->UPEM device dispatches
-    # (sweep_levels): the beam traceback feeds UPEM on device, so a
+    # (_sweep_launch/_sweep_pull): the beam traceback feeds UPEM on device, so a
     # level costs a single result-pull round trip. (Launching ALL
     # levels speculatively was measured SLOWER warm: the 2.5x discarded
     # device compute exceeds the saved link latency.)
@@ -332,44 +332,22 @@ class BlockDeviceCache:
                     jnp.take(dev_q, idx, axis=0)))
 
 
-def sweep_levels(blocks: List[Tuple[int, BlockTensor]],
-                 options: Options, cache: "BlockDeviceCache",
-                 ploidies=None
-                 ) -> Tuple[Dict[Tuple[object, int], np.ndarray],
-                            Dict[Tuple[object, int],
-                                 Tuple[float, float]]]:
-    """Beam + UPEM for every (block, ploidy in ploidies) instance as one
-    wave of asynchronous device dispatch chains: per shape group and
-    level, the beam runs, its traceback assignments stay ON DEVICE and
+def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
+                  ploidies) -> list:
+    """Async-launch one wave of chained beam->UPEM dispatch chains for
+    every (block, ploidy in ploidies) instance: per shape group and
+    level the beam runs, its traceback assignments stay ON DEVICE and
     feed the UPEM hill-climb directly (no host hop for the assignment
     tensors — the remote link's per-pull latency, not compute, dominated
     the split beam/UPEM waves), and only the refined assignments + MEC
-    stats are pulled, all overlapped. Each level dispatches at its exact
-    ploidy, so per-level device results are bit-identical to
-    phase_instances + refine_instances (padded-read assignment garbage
-    from the device traceback is provably inert: a padded read has zero
-    weights and no covered sites, so it contributes to no count, score,
-    or move — and moves for it are masked by num_reads).
-
-    Returns ({(block, ploidy): refined assignment},
-             {(block, ploidy): (bases, errors)}).
-    """
-    from ..kernels.upem_batch import upem_optimize_device
-
-    import jax.numpy as jnp
-
-    if ploidies is None:
-        ploidies = range(1, options.max_ploidy + 1)
-    pending = _sweep_launch(blocks, options, cache, ploidies)
-    return _sweep_pull(pending)
-
-
-def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
-                  ploidies) -> list:
-    """Async-launch the chained beam->UPEM dispatches for the given
-    levels; the returned pending list is consumed by _sweep_pull. The
-    split lets the adaptive sweep launch level p+1 speculatively while
-    level p's results are still in flight."""
+    stats are pulled by _sweep_pull, all overlapped. Each level
+    dispatches at its exact ploidy, so per-level device results are
+    bit-identical to phase_instances + refine_instances (padded-read
+    assignment garbage from the device traceback is provably inert: a
+    padded read has zero weights and no covered sites, so it contributes
+    to no count, score, or move — and moves for it are masked by
+    num_reads). The launch/pull split lets the adaptive sweep launch
+    level p+1 speculatively while level p's results are in flight."""
     from ..kernels.upem_batch import upem_optimize_device
 
     import jax.numpy as jnp

@@ -123,32 +123,47 @@ def run(options: Options) -> None:
     # group's call.
     pipelined = not options.keep_going
     prev_join: Optional[object] = None
-    for lo in range(0, len(eligible), batch):
-        group = eligible[lo:lo + batch]
-        try:
-            prev_join = _run_group(group, main_bam, short_bam,
-                                   vcf_profile, fasta, options,
-                                   prev_join=prev_join,
-                                   async_join=pipelined)
-        except Exception:
-            if not options.keep_going or len(group) == 1:
-                if not options.keep_going:
-                    raise
-                log.exception("Contig %s failed; --keep-going continues.",
-                              group[0])
-                continue
-            # Per-contig failure isolation: retry the group one contig at
-            # a time so one bad contig doesn't kill its neighbors.
-            for contig in group:
-                try:
-                    _run_group([contig], main_bam, short_bam,
-                               vcf_profile, fasta, options)
-                except Exception:
+    try:
+        for lo in range(0, len(eligible), batch):
+            group = eligible[lo:lo + batch]
+            try:
+                prev_join = _run_group(group, main_bam, short_bam,
+                                       vcf_profile, fasta, options,
+                                       prev_join=prev_join,
+                                       async_join=pipelined)
+            except Exception:
+                if not options.keep_going or len(group) == 1:
+                    if not options.keep_going:
+                        raise
                     log.exception(
                         "Contig %s failed; --keep-going continues.",
-                        contig)
-    if prev_join is not None:
-        prev_join()
+                        group[0])
+                    continue
+                # Per-contig failure isolation: retry the group one
+                # contig at a time so one bad contig doesn't kill its
+                # neighbors.
+                for contig in group:
+                    try:
+                        _run_group([contig], main_bam, short_bam,
+                                   vcf_profile, fasta, options)
+                    except Exception:
+                        log.exception(
+                            "Contig %s failed; --keep-going continues.",
+                            contig)
+        if prev_join is not None:
+            prev_join()
+            prev_join = None
+    except BaseException:
+        # Drain the pending join of the previous (successful) group so
+        # process teardown can't kill its writer thread mid-file — a
+        # truncated {contig}.vartigs would read as a completion marker
+        # to --resume.
+        if prev_join is not None:
+            try:
+                prev_join()
+            except Exception:
+                log.exception("Deferred join failed during unwind.")
+        raise
     log.info("Total time taken is %.2fs", time.time() - t0)
 
 

@@ -255,3 +255,17 @@ def test_supp_hardclip_offset_parity(tmp_path):
     realigner = SnpRealigner(b"A" * 1000, cv)
     realigner.realign(frag)
     assert not realigner.pool._q  # no job queued
+
+
+def test_header_references_span_many_bgzf_members(tmp_path):
+    """read_header_references must walk BGZF members correctly when the
+    reference list spans several members and the file ends right after
+    (regression: a fixed 64 KiB feed step overshot past later members)."""
+    from floria_tpu.ingest.bam import BamFile, read_header_references
+    from floria_tpu.sim import bamwrite
+
+    path = str(tmp_path / "manyref.bam")
+    refs = [(f"contig_with_a_rather_long_name_{i:04d}", 1000)
+            for i in range(3000)]
+    bamwrite.write_bam(path, refs, [])
+    assert read_header_references(path) == BamFile(path).references
