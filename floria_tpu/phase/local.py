@@ -103,6 +103,10 @@ def _sweep_decide(mec_vector: np.ndarray, expected_errors: np.ndarray,
     return False, ploidy
 
 
+# Per-dispatch batch budget in read-site cells (see _sweep_launch).
+_SWEEP_CAP_CELLS = 1 << 26
+
+
 # --- shape bucketing -------------------------------------------------------
 
 def _parallel_launch(fn, items: list) -> list:
@@ -359,12 +363,12 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     # Cap each dispatch's batch: a whole-chromosome contig can put
     # thousands of blocks in one shape bucket, and beam HBM temporaries
     # scale with G x r_pad x s_pad (measured OOM at G_pad=2048, R=320,
-    # S=2048 — 23 GB of temps vs 15.75 GB HBM). 2^26 read-site cells
-    # per dispatch (pads to 128 blocks at R=320, S=2048 — the largest
-    # measured-good shape) keeps temps a few GB; chunks are
-    # per-instance independent, so splitting is output-invariant
-    # (pinned by the batching tests).
-    cap_cells = 1 << 26
+    # S=2048 — 23 GB of temps vs 15.75 GB HBM). _SWEEP_CAP_CELLS
+    # read-site cells per dispatch (pads to 128 blocks at R=320, S=2048
+    # — the largest measured-good shape) keeps temps a few GB; chunks
+    # are per-instance independent, so splitting is output-invariant
+    # (pinned by test_dispatch_cap_chunking_is_output_invariant).
+    cap_cells = _SWEEP_CAP_CELLS
     items = []
     for ploidy in ploidies:
         for key, members in groups.items():

@@ -243,3 +243,33 @@ def test_sweep_decide_matches_pick_best():
                         got = best
                         break
                 assert got == want, (mec, exp, sens, heur)
+
+
+def test_dispatch_cap_chunking_is_output_invariant(monkeypatch):
+    """Capping a shape group's batch into several dispatch chunks (the
+    whole-chromosome HBM guard in _sweep_launch) must not change any
+    block's refined assignment or MEC stats: per-instance results are
+    independent of batch composition."""
+    from floria_tpu.phase import local as L
+
+    def run_all():
+        blocks = []
+        for j in range(7):
+            rng = np.random.default_rng(50 + j)
+            frags = _random_frags(rng, 24, 48, 2)
+            bt = pack_block(frags, (1, 48))
+            blocks.append(((0, j), bt))
+        opts = Options(epsilon=0.02, max_ploidy=3)
+        cache = L.BlockDeviceCache(blocks)
+        pending = L._sweep_launch(blocks, opts, cache, [2])
+        return L._sweep_pull(pending)
+
+    ref_refined, ref_stats = run_all()
+    # Shrink the budget so each 7-block group splits into >=3 chunks.
+    monkeypatch.setattr("floria_tpu.phase.local._SWEEP_CAP_CELLS",
+                        2 * 64 * 64)
+    chunk_refined, chunk_stats = run_all()
+    assert set(ref_refined) == set(chunk_refined)
+    for k in ref_refined:
+        np.testing.assert_array_equal(ref_refined[k], chunk_refined[k])
+        assert ref_stats[k] == chunk_stats[k]
