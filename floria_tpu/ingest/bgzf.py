@@ -51,6 +51,27 @@ def read_file(path: str) -> bytes:
     return decompress(raw)
 
 
+def read_file_array(path: str):
+    """read_file returning a uint8 numpy array: the native inflate
+    decodes straight into the array, skipping the whole-file bytes copy
+    (~1 GB for a chromosome-scale BAM) — for consumers that only need a
+    buffer (FastBam)."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if raw[:2] != b"\x1f\x8b":
+        return np.frombuffer(raw, np.uint8)
+    try:
+        from .. import native
+        out = native.bgzf_inflate(raw, as_array=True)
+        if out is not None:
+            return out
+    except Exception:  # pragma: no cover - native layer is optional
+        pass
+    return np.frombuffer(decompress(raw), np.uint8)
+
+
 def compress_block(payload: bytes, level: int = 6) -> bytes:
     """Compress <=64KiB of payload into one BGZF member."""
     if len(payload) > 0xFF00:

@@ -32,13 +32,16 @@ class FastBam:
         _bind_extract(lib)
         from . import bgzf
 
-        data = bgzf.read_file(path)
-        if data[:4] != b"BAM\x01":
+        # uint8 array buffer: the native inflate decodes straight into
+        # it (no whole-file bytes copy) and the allocation reuses the
+        # process heap.
+        data = bgzf.read_file_array(path)
+        if data[:4].tobytes() != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
         off = 8 + l_text
-        self.header_text = data[8:8 + l_text].rstrip(b"\x00").decode(
-            errors="replace")
+        self.header_text = data[8:8 + l_text].tobytes().rstrip(
+            b"\x00").decode(errors="replace")
         n_ref = struct.unpack_from("<i", data, off)[0]
         off += 4
         self.references: List[str] = []
@@ -46,12 +49,13 @@ class FastBam:
         for _ in range(n_ref):
             l_name = struct.unpack_from("<i", data, off)[0]
             self.references.append(
-                data[off + 4:off + 4 + l_name - 1].decode())
+                data[off + 4:off + 4 + l_name - 1].tobytes().decode())
             self.lengths.append(
                 struct.unpack_from("<i", data, off + 4 + l_name)[0])
             off += 8 + l_name
         self._data = data
-        n = _scan(lib, data, off)
+        self._ptr = data.ctypes.data_as(ctypes.c_void_p)
+        n = _scan(lib, self._ptr, len(data), off)
         if n < 0:
             raise ValueError("malformed BAM")
         self.n_records = n
@@ -63,14 +67,14 @@ class FastBam:
         self.n_cigar = np.zeros(n, np.uint16)
         self.l_seq = np.zeros(n, np.int32)
         self.l_read_name = np.zeros(n, np.uint8)
-        _scan(lib, data, off, self.rec_off, self.tid, self.pos,
-              self.mapq, self.flag, self.n_cigar, self.l_seq,
+        _scan(lib, self._ptr, len(data), off, self.rec_off, self.tid,
+              self.pos, self.mapq, self.flag, self.n_cigar, self.l_seq,
               self.l_read_name)
 
     def qname(self, i: int) -> str:
         o = int(self.rec_off[i]) + 32
         ln = int(self.l_read_name[i])
-        return self._data[o:o + ln - 1].decode()
+        return self._data[o:o + ln - 1].tobytes().decode()
 
     def payload(self, i: int) -> Tuple[bytes, bytes]:
         """(ASCII seq, phred+33 qual) of record i."""
@@ -101,7 +105,7 @@ class FastBam:
         seq_buf = np.empty(int(offs[-1]), np.uint8)
         qual_buf = np.empty(int(offs[-1]), np.uint8)
         lib.floria_unpack_payloads(
-            self._data, np.ascontiguousarray(self.rec_off[idx]),
+            self._ptr, np.ascontiguousarray(self.rec_off[idx]),
             np.ascontiguousarray(self.l_read_name[idx]),
             np.ascontiguousarray(self.n_cigar[idx]),
             np.ascontiguousarray(ls), offs[:-1], n, seq_buf, qual_buf)
@@ -113,7 +117,7 @@ def _bind_extract(lib) -> None:
         return
     lib.floria_extract_sites.restype = ctypes.c_int64
     lib.floria_extract_sites.argtypes = [
-        ctypes.c_char_p,
+        ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -129,11 +133,11 @@ def _bind_extract(lib) -> None:
     ]
     lib.floria_bam_scan.restype = ctypes.c_int64
     lib.floria_bam_scan.argtypes = (
-        [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64]
+        [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         + [ctypes.c_void_p] * 8)
     lib.floria_unpack_payloads.restype = None
     lib.floria_unpack_payloads.argtypes = [
-        ctypes.c_char_p,
+        ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
@@ -146,11 +150,11 @@ def _bind_extract(lib) -> None:
     lib._extract_bound = True
 
 
-def _scan(lib, data, off, *arrays):
+def _scan(lib, ptr, length, off, *arrays):
     ptrs = [a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
             for a in arrays]
     ptrs += [None] * (8 - len(ptrs))
-    return lib.floria_bam_scan(data, len(data), off, *ptrs)
+    return lib.floria_bam_scan(ptr, length, off, *ptrs)
 
 
 def passed_check_vec(flags: np.ndarray, mapq: np.ndarray,
@@ -209,7 +213,7 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
         out_qpos = np.zeros(cap, np.int32)
         rec_end = np.zeros(n_rec, np.int64)
         got = lib.floria_extract_sites(
-            fb._data, rec_off, n_rec, snp_pos, len(snp_pos), allele_mat,
+            fb._ptr, rec_off, n_rec, snp_pos, len(snp_pos), allele_mat,
             allele_mat.shape[1], cap, out_rec, out_snp, out_allele,
             out_qual, out_qpos, rec_end)
         if got >= 0:

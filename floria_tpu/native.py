@@ -185,7 +185,7 @@ def _bind(lib) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
 
 
-def bgzf_inflate(data: bytes) -> Optional[bytes]:
+def bgzf_inflate(data: bytes, as_array: bool = False):
     lib = get_lib()
     if lib is None:
         return None
@@ -204,20 +204,26 @@ def bgzf_inflate(data: bytes) -> Optional[bytes]:
         out_off = np.zeros(n + 1, np.int64)
         np.cumsum(out_size[:n], out=out_off[1:])
         total = int(out_off[-1])
-        out = ctypes.create_string_buffer(total)
+        out = np.empty(total, np.uint8)
         rc = lib.floria_bgzf_inflate_blocks(
             data, len(data), in_off[:n].copy(), out_off[:-1].copy(),
-            out_size[:n].copy(), n, out, os.cpu_count() or 1)
+            out_size[:n].copy(), n,
+            out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1)
         if rc == 0:
-            return out.raw
+            # The numpy buffer is the decode target itself: no
+            # whole-file bytes copy on return (as_array) and the
+            # allocation reuses the process heap.
+            return out if as_array else out.tobytes()
     size = lib.floria_bgzf_inflate(data, len(data), None, 0)
     if size < 0:
         return None
-    out = ctypes.create_string_buffer(size)
-    got = lib.floria_bgzf_inflate(data, len(data), out, size)
+    out = np.empty(size, np.uint8)
+    got = lib.floria_bgzf_inflate(data, len(data),
+                                  out.ctypes.data_as(ctypes.c_void_p),
+                                  size)
     if got != size:
         return None
-    return out.raw
+    return out if as_array else out.tobytes()
 
 
 def csr_gather_range(snps: np.ndarray, alleles: np.ndarray,
