@@ -45,10 +45,8 @@ class SimTruth:
     read_strains: Dict[str, int]       # read id -> strain index
 
 
-def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
-    rng = np.random.default_rng(cfg.seed)
-    os.makedirs(out_dir, exist_ok=True)
-
+def _community(rng: np.random.Generator, cfg: SimConfig):
+    """Reference + planted SNP truth + per-strain haplotype sequences."""
     ref = _BASES[rng.integers(0, 4, cfg.contig_len)]
     snp_pos = np.sort(rng.choice(
         np.arange(50, cfg.contig_len - 50), size=cfg.num_snps,
@@ -81,20 +79,37 @@ def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
              if cfg.strain_abundances is not None
              else np.ones(cfg.num_strains))
     abund = abund / abund.sum()
+    return ref, snp_pos, alt, strain_alleles, strains, abund
 
+
+def _sample_reads(rng: np.random.Generator, cfg: SimConfig, strains,
+                  abund, read_strains: Dict[str, int],
+                  name_prefix: str = "") -> List[Tuple[int, bytes]]:
+    """Sample a whole read library (long or paired per cfg.paired) from
+    already-built strain sequences; returns (pos, encoded record) pairs."""
     total_bases = cfg.coverage_per_strain * cfg.num_strains * cfg.contig_len
     mean_frag = cfg.read_length if not cfg.paired else 2 * cfg.read_length
     num_reads = max(1, int(total_bases / mean_frag))
-
-    records: List[Tuple[int, bytes]] = []  # (pos, encoded record)
-    read_strains: Dict[str, int] = {}
+    records: List[Tuple[int, bytes]] = []
     for r in range(num_reads):
         k = int(rng.choice(cfg.num_strains, p=abund))
         if cfg.paired:
-            _sim_pair(rng, cfg, strains[k], r, k, records, read_strains)
+            _sim_pair(rng, cfg, strains[k], f"{name_prefix}{r}", k,
+                      records, read_strains)
         else:
-            _sim_long_read(rng, cfg, strains[k], r, k, records,
-                           read_strains)
+            _sim_long_read(rng, cfg, strains[k], f"{name_prefix}{r}", k,
+                           records, read_strains)
+    return records
+
+
+def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
+    rng = np.random.default_rng(cfg.seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ref, snp_pos, alt, strain_alleles, strains, abund = _community(rng, cfg)
+
+    read_strains: Dict[str, int] = {}
+    records = _sample_reads(rng, cfg, strains, abund, read_strains)
 
     records.sort(key=lambda t: t[0])
     bam_path = os.path.join(out_dir, "sim.bam")
@@ -106,6 +121,58 @@ def simulate(cfg: SimConfig, out_dir: str) -> SimTruth:
 
     vcf_path = os.path.join(out_dir, "sim.vcf")
     with open(vcf_path, "w") as vf:
+        vf.write("##fileformat=VCFv4.2\n")
+        vf.write(f"##contig=<ID={cfg.contig_name},length={cfg.contig_len}>\n")
+        vf.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for j, p in enumerate(snp_pos):
+            vf.write(f"{cfg.contig_name}\t{p + 1}\t.\t"
+                     f"{chr(ref[p])}\t{chr(alt[j])}\t60\tPASS\t.\n")
+
+    return SimTruth(snp_positions=snp_pos, strain_alleles=strain_alleles,
+                    read_strains=read_strains)
+
+
+def simulate_hybrid(cfg: SimConfig, out_dir: str,
+                    short_coverage_per_strain: float = 20.0,
+                    short_read_length: int = 150,
+                    short_insert_size: int = 300,
+                    short_error_rate: float = 0.002,
+                    short_base_qual: int = 30) -> SimTruth:
+    """Long-read sim.bam PLUS a paired short-read sim_short.bam sampled
+    from the SAME community — the input shape of the reference's hybrid
+    mode (`-H` second BAM, floria.rs:79-84): accurate short reads
+    polish the long reads' SNP calls (utils_frags.rs:492-574) and are
+    optionally re-attached to final haplogroups
+    (part_block_manip.rs:235-270). Short pairs are named
+    ``pair_h<idx>_s<strain>`` and included in the returned truth's
+    read_strains."""
+    rng = np.random.default_rng(cfg.seed)
+    os.makedirs(out_dir, exist_ok=True)
+    ref, snp_pos, alt, strain_alleles, strains, abund = _community(rng, cfg)
+
+    read_strains: Dict[str, int] = {}
+    long_records = _sample_reads(rng, cfg, strains, abund, read_strains)
+    long_records.sort(key=lambda t: t[0])
+    bamwrite.write_bam(os.path.join(out_dir, "sim.bam"),
+                       [(cfg.contig_name, cfg.contig_len)],
+                       [rec for _pos, rec in long_records])
+
+    short_cfg = dataclasses.replace(
+        cfg, paired=True, read_length=short_read_length,
+        insert_size=short_insert_size, error_rate=short_error_rate,
+        base_qual=short_base_qual,
+        coverage_per_strain=short_coverage_per_strain)
+    short_records = _sample_reads(
+        np.random.default_rng(cfg.seed + 99991), short_cfg, strains,
+        abund, read_strains, name_prefix="h")
+    short_records.sort(key=lambda t: t[0])
+    bamwrite.write_bam(os.path.join(out_dir, "sim_short.bam"),
+                       [(cfg.contig_name, cfg.contig_len)],
+                       [rec for _pos, rec in short_records])
+
+    write_fasta(os.path.join(out_dir, "sim.fa"),
+                {cfg.contig_name: ref.tobytes()})
+    with open(os.path.join(out_dir, "sim.vcf"), "w") as vf:
         vf.write("##fileformat=VCFv4.2\n")
         vf.write(f"##contig=<ID={cfg.contig_name},length={cfg.contig_len}>\n")
         vf.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
