@@ -318,10 +318,20 @@ def _reassign_short(parts, ranges, state: _PartState, short_frags,
 
     Precondition: short fragments must be renumbered into the same
     counter-id space as `state.frags` (the pipeline appends them after the
-    long fragments)."""
+    long fragments).
+
+    Only the ORIGINAL parts (pre broken-group separation) are candidates:
+    the reference iterates `all_parts_block.blocks`
+    (part_block_manip.rs:240-241), which separate_broken_haplogroups never
+    extends, with the original index's range — so short reads score
+    against the pre-split consensus and can resurrect a cleared original
+    part. state.counts keeps exactly that original length. Equal-ratio
+    score ties pick the key first seen in ascending part order (the
+    reference's min_by over FxHashMap keys is iteration-order
+    dependent)."""
     for f in short_frags:
         candidates: Dict[Tuple[int, int], List[int]] = {}
-        for i in range(len(parts)):
+        for i in range(len(state.counts)):
             a, b = ranges[i]
             inter = (a <= f.first_position <= b) or (
                 a <= f.last_position <= b)

@@ -423,7 +423,35 @@ def dist_eps_hap(read: Dict, hap: Hap, eps: float) -> Tuple[float, float]:
     return oracle.dist_eps(read, hap, eps)
 
 
-def final_parts(haplogroups, frags, options):
+def reassign_short(parts, ranges, blocks, short_frags, options):
+    """part_block_manip.rs:235-267: each short fragment joins EVERY
+    candidate part tied at the best quantized
+    (diff*10+1, same*10+1)-ratio score, scored against the pre-split
+    consensus blocks. Only original part indices are candidates — the
+    reference iterates all_parts_block.blocks, which
+    separate_broken_haplogroups never extends — so a short read can
+    resurrect a cleared original part. Equal-ratio ties pick the key
+    first seen in ascending part order (canonical; the reference's
+    min_by over FxHashMap keys is iteration-order dependent)."""
+    for f in short_frags:
+        read = oracle.frag_to_read(f)
+        candidates: Dict[Tuple[int, int], List[int]] = {}
+        for i in range(len(blocks)):
+            a, b = ranges[i]
+            if not (a <= f.first_position <= b
+                    or a <= f.last_position <= b):
+                continue
+            same, diff = dist_eps_hap(read, blocks[i], options.epsilon)
+            key = (int(diff * 10.0 + 1.0), int(same * 10.0 + 1.0))
+            candidates.setdefault(key, []).append(i)
+        if not candidates:
+            continue
+        best = min(candidates, key=lambda k: k[0] / k[1])
+        for i in candidates[best]:
+            parts[i].add(f.counter_id)
+
+
+def final_parts(haplogroups, frags, options, short_frags=()):
     parts: List[Set[int]] = [set(h[0]) for h in haplogroups]
     ranges: List[Tuple[int, int]] = [h[1] for h in haplogroups]
     blocks = [full_hap_of(frags, ids) for ids in parts]
@@ -467,6 +495,9 @@ def final_parts(haplogroups, frags, options):
 
     if constants.SEPARATE_BROKEN_HAPLOGROUPS:
         _separate_broken(parts, ranges, frags)
+
+    if options.reassign_short and short_frags:
+        reassign_short(parts, ranges, blocks, short_frags, options)
 
     order = sorted(range(len(parts)), key=lambda i: ranges[i])
     return [parts[i] for i in order], [ranges[i] for i in order]
@@ -752,9 +783,13 @@ def haplosets_text(parts, ranges, out_dir_name, contig, frags,
 # --- whole contig -------------------------------------------------------
 
 def phase_contig(frags, snp_to_genome_pos, options,
-                 use_native: bool = True):
+                 use_native: bool = True, short_frags=()):
     """(parts, ranges, hapqs, rel_err, avg_err): the post-ingest
-    pipeline on one contig's sorted frozen fragments."""
+    pipeline on one contig's sorted frozen fragments. Only the long
+    `frags` are phased; `short_frags` (hybrid mode, counter_ids
+    continuing after the long ones) enter at final_parts' reassignment
+    and everything downstream runs on the combined id space, matching
+    pipeline._finish_contig."""
     ranges_blocks = block_ranges(snp_to_genome_pos, options.block_length,
                                  options.block_length // 3,
                                  options.snp_density)
@@ -771,7 +806,9 @@ def phase_contig(frags, snp_to_genome_pos, options,
     out_edges = build_edges(columns, col_ranges, frags)
     flow_vec = solve_flows(columns, out_edges)
     haplogroups = widest_paths(columns, col_ranges, flow_vec, frags)
-    parts, ranges = final_parts(haplogroups, frags, options)
-    hapqs, rel, avg_err = hapq_scores(parts, ranges, frags,
+    combined = list(frags) + list(short_frags)
+    parts, ranges = final_parts(haplogroups, combined, options,
+                                short_frags)
+    hapqs, rel, avg_err = hapq_scores(parts, ranges, combined,
                                       snp_to_genome_pos, options)
     return parts, ranges, hapqs, rel, avg_err

@@ -128,6 +128,31 @@ def test_separate_broken_haplogroups():
     assert parts[1] == {0} and parts[2] == set()
 
 
+def test_reassign_short_after_broken_split():
+    """--reassign-short scores against the ORIGINAL parts only: the
+    reference iterates all_parts_block.blocks
+    (part_block_manip.rs:240-241), which broken-group separation never
+    extends — so a short read can resurrect a cleared original part,
+    and the appended split parts must not be scored (previously an
+    IndexError into the original-length consensus state)."""
+    f1 = _frag(0, {p: 0 for p in range(1, 6)})
+    f2 = _frag(1, {p: 0 for p in range(8, 12)})
+    frags = [f1, f2]
+    short = Frag("s0", 2, True)
+    short.add_site(3, 0, 30, 0, 0)
+    short.freeze()
+    h = Haplogroup(frag_ids=np.array([0, 1]), snp_range=(1, 11), cov=2.0)
+    parts, ranges = process_reads_for_final_parts(
+        [h], frags + [short], [short],
+        Options(epsilon=0.02, reassign_short=True))
+    by_range = dict(zip(ranges, parts))
+    # The split appended (1,5)/(6,11); the short frag re-attached to the
+    # cleared ORIGINAL (1,11) part, resurrecting it.
+    assert by_range[(1, 11)] == {2}
+    assert by_range[(1, 5)] == {0}
+    assert by_range[(6, 11)] == set()
+
+
 def test_hapq_scoring():
     frags = _two_strain_world()
     parts = [set(f.counter_id for f in frags

@@ -37,12 +37,14 @@ def _ingest_like_pipeline(opts: Options, contig: str):
     oracle runs on the exact same frozen fragments."""
     contigs = bamlib.get_contigs_to_phase(opts.bam_file)
     main_bam = open_bam(opts.bam_file)
+    short_bam = (open_bam(opts.short_bam_file)
+                 if opts.short_bam_file else None)
     vcf_profile = read_vcf(opts.vcf_file, contigs)
     cv = vcf_profile.get(contig)
     fasta = FastaFile(opts.reference_fasta)
     ref_seq = fasta.fetch(contig)
-    id_map = collect_contig_records(main_bam, None, cv, opts, ref_seq,
-                                    contig)
+    id_map = collect_contig_records(main_bam, short_bam, cv, opts,
+                                    ref_seq, contig)
     all_frags, frags_without_snps = finalize_frags(id_map, cv, opts)
     all_frags = sort_and_renumber(all_frags)
     for f in all_frags:
@@ -98,3 +100,61 @@ def test_pipeline_matches_oracle(name, tmp_path):
     assert got_haplosets == want_haplosets
     assert got_info == want_info
     assert got_ploidy == want_ploidy
+
+
+def test_pipeline_matches_oracle_hybrid(tmp_path):
+    """Byte parity through hybrid mode: short-read polishing
+    (utils_frags.rs:492-574) + --reassign-short re-attachment
+    (part_block_manip.rs:235-267) on the combined long+short id space."""
+    from floria_tpu import fragops
+    from floria_tpu.sim.simulate import simulate_hybrid
+
+    cfg = SimConfig(contig_len=24_000, num_strains=2, num_snps=140,
+                    coverage_per_strain=10.0, read_length=4_000,
+                    read_length_sd=600.0, error_rate=0.02, seed=51)
+    sim_dir = tmp_path / "sim"
+    simulate_hybrid(cfg, str(sim_dir), short_coverage_per_strain=12.0)
+    out_dir = tmp_path / "out"
+    opts = Options(
+        bam_file=os.path.join(str(sim_dir), "sim.bam"),
+        vcf_file=os.path.join(str(sim_dir), "sim.vcf"),
+        reference_fasta=os.path.join(str(sim_dir), "sim.fa"),
+        short_bam_file=os.path.join(str(sim_dir), "sim_short.bam"),
+        hybrid=True, reassign_short=True,
+        out_dir=str(out_dir), epsilon=0.02, block_length=4000,
+        snp_count_filter=10, overwrite=True)
+    os.makedirs(out_dir, exist_ok=True)
+    run(opts)
+
+    contig = cfg.contig_name
+    cdir = os.path.join(str(out_dir), contig)
+    with open(os.path.join(cdir, f"{contig}.vartigs")) as f:
+        got_vartigs = f.read()
+    with open(os.path.join(cdir, f"{contig}.haplosets")) as f:
+        got_haplosets = f.read()
+    with open(os.path.join(cdir, "vartig_info.txt")) as f:
+        got_info = f.read()
+
+    all_frags, _nosnp, cv = _ingest_like_pipeline(opts, contig)
+    final_frags, short_frags = fragops.hybrid_correction(all_frags)
+    final_frags = sort_and_renumber(final_frags)
+    combined = list(final_frags)
+    for f in short_frags:
+        f.counter_id = len(combined)
+        combined.append(f)
+    parts, ranges, hapqs, rel, _avg = oracle_pipeline.phase_contig(
+        final_frags, cv.genome_pos, opts, short_frags=short_frags)
+    want_vartigs = oracle_pipeline.vartigs_text(
+        parts, ranges, cdir, contig, combined, cv.genome_pos, hapqs, rel)
+    want_haplosets = oracle_pipeline.haplosets_text(
+        parts, ranges, cdir, contig, combined, cv.genome_pos, hapqs, rel)
+    want_info = oracle_pipeline.vartig_info_text(
+        parts, ranges, cdir, combined, cv.genome_pos)
+
+    # The short reads must actually flow through: at least one short
+    # pair re-attached somewhere, or the parity below proves nothing
+    # new.
+    assert any(f.counter_id in ids for f in short_frags for ids in parts)
+    assert got_vartigs == want_vartigs
+    assert got_haplosets == want_haplosets
+    assert got_info == want_info
