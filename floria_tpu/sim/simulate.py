@@ -35,6 +35,12 @@ class SimConfig:
     paired: bool = False
     insert_size: int = 400
     strain_abundances: Optional[Sequence[float]] = None
+    # Fraction of long reads emitted as split reads: a primary alignment
+    # plus a hard-clipped supplementary (flag 2048, MAPQ 60) downstream
+    # of a simulated genomic deletion of supp_gap bp — exercises the
+    # pair/supp merge path (file_reader.rs:185-235, 693-735) end to end.
+    supp_read_fraction: float = 0.0
+    supp_gap: int = 3_000
     seed: int = 7
 
 
@@ -260,13 +266,41 @@ def _sim_long_read(rng, cfg: SimConfig, strain: np.ndarray, idx: int,
     ln = int(np.clip(rng.normal(cfg.read_length, cfg.read_length_sd),
                      200, cfg.contig_len))
     pos = int(rng.integers(0, max(1, cfg.contig_len - ln)))
-    seq = _mutate(rng, strain[pos:pos + ln], cfg.error_rate)
     name = f"read_{idx}_s{k}"
     read_strains[name] = k
+    if (cfg.supp_read_fraction > 0.0
+            and rng.random() < cfg.supp_read_fraction
+            and pos + ln + cfg.supp_gap < cfg.contig_len
+            and ln >= 400):
+        _sim_split_read(rng, cfg, strain, name, pos, ln, records)
+        return
+    seq = _mutate(rng, strain[pos:pos + ln], cfg.error_rate)
     qual = [cfg.base_qual] * len(seq)
     rec = bamwrite.encode_record(name, 0, 0, pos, 60,
                                  [(len(seq), "M")], seq.tobytes(), qual)
     records.append((pos, rec))
+
+
+def _sim_split_read(rng, cfg: SimConfig, strain: np.ndarray, name: str,
+                    pos: int, ln: int, records) -> None:
+    """Emit a read spanning a supp_gap-bp genomic deletion as an aligner
+    would: primary = first segment M + second soft-clipped (full seq),
+    supplementary (flag 2048, MAPQ 60) = leading hard-clip + second
+    segment M with only that segment's bases."""
+    h1 = ln // 2
+    h2 = ln - h1
+    pos2 = pos + h1 + cfg.supp_gap
+    seg1 = _mutate(rng, strain[pos:pos + h1], cfg.error_rate)
+    seg2 = _mutate(rng, strain[pos2:pos2 + h2], cfg.error_rate)
+    full = np.concatenate([seg1, seg2])
+    qual = [cfg.base_qual] * ln
+    primary = bamwrite.encode_record(
+        name, 0, 0, pos, 60, [(h1, "M"), (h2, "S")], full.tobytes(), qual)
+    supp = bamwrite.encode_record(
+        name, 2048, 0, pos2, 60, [(h1, "H"), (h2, "M")], seg2.tobytes(),
+        qual[:h2])
+    records.append((pos, primary))
+    records.append((pos2, supp))
 
 
 def _sim_pair(rng, cfg: SimConfig, strain: np.ndarray, idx: int, k: int,
