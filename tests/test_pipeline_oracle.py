@@ -29,6 +29,12 @@ CONFIGS = {
                          coverage_per_strain=25.0, read_length=150,
                          read_length_sd=10.0, error_rate=0.005,
                          paired=True, insert_size=450, seed=9),
+    # Split reads: primary + hard-clipped supplementary across a
+    # genomic deletion (the supp-merge path, file_reader.rs:693-735).
+    "supp2": SimConfig(contig_len=30_000, num_strains=2, num_snps=140,
+                       coverage_per_strain=10.0, read_length=4_000,
+                       read_length_sd=600.0, error_rate=0.015,
+                       supp_read_fraction=0.35, supp_gap=2_500, seed=31),
 }
 
 
