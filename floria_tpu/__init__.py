@@ -18,8 +18,13 @@ def _enable_compilation_cache() -> None:
     one variant per (ploidy, read-bucket, site-bucket) shape, which is
     seconds each but adds up on first contact with a new workload."""
     # CPU AOT cache entries are machine-feature sensitive (reload warns
-    # about SIGILL risk), so only cache for accelerator backends.
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+    # about SIGILL risk), so only cache for accelerator backends unless
+    # explicitly opted in (FLORIA_TPU_CPU_CACHE=1 — safe when the cache
+    # dir never leaves the machine, e.g. the multi-process scaling
+    # bench, where per-rank recompiles would masquerade as scaling
+    # loss).
+    if ("cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
+            and _os.environ.get("FLORIA_TPU_CPU_CACHE") != "1"):
         return
     try:
         import jax

@@ -49,11 +49,39 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
 
 def contigs_for_process(contigs: List[str], process_id: int,
-                        num_processes: int) -> List[str]:
-    """Deterministic round-robin contig shard (stable under any contig
-    count; balances mixed contig sizes better than block partitioning)."""
-    return [c for i, c in enumerate(contigs)
-            if i % num_processes == process_id]
+                        num_processes: int,
+                        weights: Optional[List[float]] = None
+                        ) -> List[str]:
+    """Deterministic contig shard for one process.
+
+    Without weights: round-robin by index (stable under any contig
+    count). With per-contig work weights (SNP counts — block count and
+    read count both track them): LPT greedy — contigs in descending
+    weight order, each to the currently lightest shard — so one giant
+    contig can't pin scaling efficiency below target on real
+    metagenomes (the reference's rayon pool load-balances dynamically,
+    parse_cmd_line.rs:153-156; a static shard must balance up front).
+    Every process computes the identical assignment independently; ties
+    break by (weight, index) and lowest process id, so the result is a
+    partition regardless of float weirdness. Within a shard, original
+    contig order is preserved (deterministic group batching)."""
+    if weights is None:
+        return [c for i, c in enumerate(contigs)
+                if i % num_processes == process_id]
+    if len(weights) != len(contigs):
+        raise ValueError("weights/contigs length mismatch")
+    order = sorted(range(len(contigs)),
+                   key=lambda i: (-float(weights[i]), i))
+    load = [0.0] * num_processes
+    count = [0] * num_processes
+    assign: List[List[int]] = [[] for _ in range(num_processes)]
+    for i in order:
+        p = min(range(num_processes),
+                key=lambda q: (load[q], count[q], q))
+        load[p] += float(weights[i])
+        count[p] += 1
+        assign[p].append(i)
+    return [contigs[i] for i in sorted(assign[process_id])]
 
 
 def run_multihost(options: Options, num_processes: int, process_id: int,
@@ -66,7 +94,19 @@ def run_multihost(options: Options, num_processes: int, process_id: int,
     from ..ingest import bam as bamlib
     from ..pipeline import run
     all_contigs = bamlib.get_contigs_to_phase(options.bam_file)
-    mine = contigs_for_process(all_contigs, process_id, num_processes)
+    weights = None
+    if num_processes > 1:
+        # Work-aware sharding: per-contig SNP count (the VCF scan is a
+        # small fraction of one contig's phasing cost; block count and
+        # read count both scale with it). Every rank derives the same
+        # weights from the same VCF, so the assignment is consistent.
+        from ..ingest.vcf import read_vcf
+
+        profile = read_vcf(options.vcf_file, all_contigs)
+        weights = [profile.get(c).num_snps if c in profile else 0
+                   for c in all_contigs]
+    mine = contigs_for_process(all_contigs, process_id, num_processes,
+                               weights)
     options.list_to_phase = (
         [c for c in mine if c in options.list_to_phase]
         if options.list_to_phase else mine)

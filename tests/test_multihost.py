@@ -26,6 +26,39 @@ def test_contig_sharding_partition():
     assert max(sizes) - min(sizes) <= 1
 
 
+def test_contig_sharding_weighted():
+    """LPT sharding: a partition, deterministic, and balanced even when
+    one contig dwarfs the rest (the case round-robin loses:
+    [1000,1,1,...] round-robin puts 1000+k/4 on shard 0)."""
+    contigs = [f"c{i}" for i in range(13)]
+    weights = [1000.0] + [10.0] * 12
+    shards = [contigs_for_process(contigs, p, 4, weights)
+              for p in range(4)]
+    flat = [c for s in shards for c in s]
+    assert sorted(flat) == sorted(contigs)
+    assert len(set(flat)) == len(contigs)
+    # The giant contig sits alone; the 12 small ones split 4/4/4.
+    loads = [sum(weights[contigs.index(c)] for c in s) for s in shards]
+    assert sorted(len(s) for s in shards) == [1, 4, 4, 4]
+    assert max(loads[1:]) == min(loads[1:]) == 40.0
+    # Same assignment recomputed by every rank (pure function).
+    assert shards == [contigs_for_process(contigs, p, 4, weights)
+                      for p in range(4)]
+    # Within-shard order preserves input order.
+    for s in shards:
+        assert s == sorted(s, key=contigs.index)
+
+
+def test_contig_sharding_weighted_uniform_balances():
+    """Equal weights degrade to an even split."""
+    contigs = [f"c{i}" for i in range(11)]
+    shards = [contigs_for_process(contigs, p, 4, [5.0] * 11)
+              for p in range(4)]
+    sizes = sorted(len(s) for s in shards)
+    assert sizes == [2, 3, 3, 3]
+    assert sorted(c for s in shards for c in s) == sorted(contigs)
+
+
 def test_merge_ploidy_tsvs(tmp_path):
     opts = Options(out_dir=str(tmp_path))
     rows = {
