@@ -12,12 +12,15 @@ available; this module is the always-available reference decoder.
 
 from __future__ import annotations
 
+import logging
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from . import bgzf
+
+log = logging.getLogger(__name__)
 
 SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _SEQ_TABLE = np.frombuffer(SEQ_CODES.encode(), dtype=np.uint8)
@@ -109,16 +112,44 @@ class BamFile:
         data = self._data
         off = self._records_start
         n = len(data)
+        skipped = 0
         unpack_core = struct.Struct("<iiiBBHHHiiii").unpack_from
         while off < n:
+            if off + 36 > n:
+                raise ValueError("malformed BAM: truncated record header")
             (block_size, tid, pos, l_read_name, mapq, _bin, n_cigar, flag,
              l_seq, _next_tid, _next_pos, tlen) = unpack_core(data, off)
+            if block_size < 32 or off + 4 + block_size > n:
+                raise ValueError("malformed BAM: record overruns file")
+            # Corrupt geometry (fields overrun the record body, or the
+            # CIGAR's query length disagrees with l_seq): reading on
+            # would pull bytes from the wrong field and emit wrong
+            # alleles silently — skip with a warning (htslib gives the
+            # reference this validation; file_reader.rs:125,244 is its
+            # loud-failure analog).
+            need = 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 \
+                + l_seq
+            if need > block_size:
+                skipped += 1
+                off += 4 + block_size
+                continue
             p = off + 36
             qname = data[p:p + l_read_name - 1].decode()
             p += l_read_name
             cigar = np.frombuffer(data, dtype="<u4", count=n_cigar,
                                   offset=p).astype(np.uint32)
             p += 4 * n_cigar
+            if n_cigar and l_seq:
+                ops = cigar & 0xF
+                if (ops > 8).any():
+                    skipped += 1
+                    off += 4 + block_size
+                    continue
+                qlen = int((cigar >> 4)[_CONSUMES_QUERY[ops]].sum())
+                if qlen != l_seq:
+                    skipped += 1
+                    off += 4 + block_size
+                    continue
             nbytes = (l_seq + 1) // 2
             packed = np.frombuffer(data, dtype=np.uint8, count=nbytes,
                                    offset=p)
@@ -130,6 +161,9 @@ class BamFile:
             off += 4 + block_size
             yield BamRecord(qname, flag, tid, pos, mapq, cigar, seq, qual,
                             tlen, raw)
+        if skipped:
+            log.warning("%d BAM record(s) with corrupt CIGAR/sequence "
+                        "geometry skipped", skipped)
 
     def records_by_contig(self) -> Dict[int, List[BamRecord]]:
         if self._by_tid is None:

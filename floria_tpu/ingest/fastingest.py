@@ -10,6 +10,7 @@ reference implementation and the fallback.
 from __future__ import annotations
 
 import ctypes
+import logging
 import struct
 from typing import Dict, List, Tuple
 
@@ -20,6 +21,8 @@ from ..frag import Frag
 from ..options import Options
 from . import bam as bamlib
 from .vcf import ContigVcf
+
+log = logging.getLogger(__name__)
 
 
 class FastBam:
@@ -70,6 +73,64 @@ class FastBam:
         _scan(lib, self._ptr, len(data), off, self.rec_off, self.tid,
               self.pos, self.mapq, self.flag, self.n_cigar, self.l_seq,
               self.l_read_name)
+        self._drop_corrupt_records()
+
+    def _drop_corrupt_records(self) -> None:
+        """Drop records whose CIGAR/seq geometry is inconsistent, with a
+        warning — a CIGAR that overruns the stored sequence (or a body
+        too small for its own fields) would otherwise read bytes from
+        the NEXT record and emit wrong alleles silently. htslib gives
+        the reference this validation for free; skip-with-warning keeps
+        one dirty record from killing a metagenome run (per-record
+        analog of the reference's loud exits, file_reader.rs:125,244)."""
+        n = self.n_records
+        if n == 0:
+            return
+        nc = self.n_cigar.astype(np.int64)
+        lseq = self.l_seq.astype(np.int64)
+        lrn = self.l_read_name.astype(np.int64)
+        # Record body extent from consecutive offsets (each record is
+        # prefixed by its 4-byte block_size).
+        ends = np.empty(n, np.int64)
+        ends[:-1] = self.rec_off[1:] - 4
+        ends[-1] = len(self._data)
+        need = self.rec_off + 32 + lrn + 4 * nc + (lseq + 1) // 2 + lseq
+        bad = need > ends
+        # CIGAR query length must equal l_seq (SAM spec 4.2; only
+        # checkable when both are present).
+        total_ops = int(nc.sum())
+        checkable = (nc > 0) & (lseq > 0) & ~bad
+        if total_ops and checkable.any():
+            rid = np.repeat(np.arange(n), nc)
+            within = np.arange(total_ops) - np.repeat(
+                np.cumsum(nc) - nc, nc)
+            d = self._data
+            # Records whose CIGAR region itself overruns the buffer are
+            # already in `bad` (need > ends); clamp their op reads so
+            # the gather stays in-bounds.
+            b0 = np.minimum((self.rec_off + 32 + lrn)[rid] + 4 * within,
+                            len(d) - 4)
+            vals = (d[b0].astype(np.uint32)
+                    | d[b0 + 1].astype(np.uint32) << 8
+                    | d[b0 + 2].astype(np.uint32) << 16
+                    | d[b0 + 3].astype(np.uint32) << 24)
+            op = vals & 0xF
+            consumes_query = (op == 0) | (op == 1) | (op == 4) \
+                | (op == 7) | (op == 8)
+            qlen = np.bincount(rid, weights=(vals >> 4)
+                               * consumes_query, minlength=n)
+            bad |= checkable & (qlen.astype(np.int64) != lseq)
+            bad |= np.bincount(rid, weights=op > 8,
+                               minlength=n) > 0
+        if bad.any():
+            log.warning(
+                "%d BAM record(s) with corrupt CIGAR/sequence geometry "
+                "skipped", int(bad.sum()))
+            keep = ~bad
+            self.n_records = int(keep.sum())
+            for name in ("rec_off", "tid", "pos", "mapq", "flag",
+                         "n_cigar", "l_seq", "l_read_name"):
+                setattr(self, name, getattr(self, name)[keep])
 
     def qname(self, i: int) -> str:
         o = int(self.rec_off[i]) + 32

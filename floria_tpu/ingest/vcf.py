@@ -24,6 +24,23 @@ from . import bgzf
 _ACGT = frozenset(b"ACGT")
 
 
+def _warn_ghost_contigs(ghost) -> None:
+    """VCF records for contigs the BAM header doesn't know are ignored;
+    say so — a silently-empty output on a contig-name mismatch (e.g.
+    'chr1' vs '1') is the classic dirty-data failure (the reference
+    exits loudly on unreadable inputs, file_reader.rs:125,244; a
+    name-mismatch there yields the same silent no-SNPs behavior this
+    warning closes)."""
+    if ghost:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "VCF has records for %d contig(s) absent from the BAM "
+            "header (ignored): %s", len(ghost),
+            ", ".join(sorted(ghost)[:5])
+            + ("..." if len(ghost) > 5 else ""))
+
+
 @dataclasses.dataclass
 class ContigVcf:
     """SNP table for one contig. SNP counters are 1-indexed."""
@@ -120,10 +137,13 @@ def _read_vcf_native(data: bytes, restrict) -> "VcfProfile":
     allele_start = np.concatenate(([0], allele_end[:-1]))
 
     by_contig: Dict[str, List[int]] = {}
+    ghost = set()
     for r, name in enumerate(names):
         if restrict is not None and name not in restrict:
+            ghost.add(name)
             continue
         by_contig.setdefault(name, []).append(r)
+    _warn_ghost_contigs(ghost)
     contigs = {}
     for name, rids in by_contig.items():
         sel = np.isin(run_id, np.asarray(rids, np.int32))
@@ -166,6 +186,7 @@ def read_vcf(path: str, ref_chroms: List[str] = None) -> VcfProfile:
         return fast
     per_contig_pos: Dict[str, List[int]] = {}
     per_contig_alleles: Dict[str, Dict[int, bytes]] = {}
+    ghost = set()
     warned = False
     for line in data.split(b"\n"):
         if not line or line.startswith(b"#"):
@@ -175,6 +196,7 @@ def read_vcf(path: str, ref_chroms: List[str] = None) -> VcfProfile:
             continue
         chrom = fields[0].decode()
         if restrict is not None and chrom not in restrict:
+            ghost.add(chrom)
             continue
         # Collect REF + comma-separated ALT alleles in record order; the
         # allele index stored on fragments is the position in this list
@@ -195,6 +217,7 @@ def read_vcf(path: str, ref_chroms: List[str] = None) -> VcfProfile:
         per_contig_pos.setdefault(chrom, []).append(pos)
         per_contig_alleles.setdefault(chrom, {})[pos] = bytes(al_bytes)
 
+    _warn_ghost_contigs(ghost)
     contigs = {}
     for chrom, positions in per_contig_pos.items():
         gp = np.asarray(positions, dtype=np.int64)

@@ -209,11 +209,12 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     strictly better than every earlier (generation-order) one survives —
     closed form of the reference's sequential keep-the-worse scan, since
     kept scores form a strictly decreasing-MEC chain. Equality is
-    detected by a pair of linear fingerprints (identical truncated
-    blocks are bitwise identical here: both chains added the same reads
-    to the same parts in the same scan order, so each cell and hence
-    each fingerprint reduction is reproduced bit-for-bit; distinct
-    blocks collide with probability ~2^-46 per pair)."""
+    detected by three independent linear fingerprints (identical
+    truncated blocks are bitwise identical here: both chains added the
+    same reads to the same parts in the same scan order, so each cell
+    and hence each fingerprint reduction is reproduced bit-for-bit;
+    distinct blocks collide with probability ~2^-69 per pair — see
+    _hash_consts)."""
     B, P, A, S = counts.shape
     cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
     div = jnp.float32(constants.DIV_FACTOR)
@@ -248,16 +249,13 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
                      score[:, None] + diff, INF)            # [B, P]
 
     if hash_consts is not None:
-        v1, v2, g1, g2 = hash_consts                # [A, S], [A, S], [P]x2
+        vs, gs = hash_consts                 # [A, S] x3, [P] x3
         start_loc = start_t - off_t if window < S else start_t
         colmask = (jnp.arange(window) >= start_loc).astype(jnp.float32)
-        if window < S:
-            v1_w = jax.lax.dynamic_slice(v1, (0, off_t), (A, window))
-            v2_w = jax.lax.dynamic_slice(v2, (0, off_t), (A, window))
-        else:
-            v1_w, v2_w = v1, v2
         h_list = []
-        for vw, gp in ((v1_w, g1), (v2_w, g2)):
+        for v, gp in zip(vs, gs):
+            vw = (jax.lax.dynamic_slice(v, (0, off_t), (A, window))
+                  if window < S else v)
             # Truncated-parent fingerprint + the read's delta per part.
             ph = jnp.einsum("bpas,as->bp", win, vw * colmask[None],
                             preferred_element_type=jnp.float32) @ gp
@@ -266,8 +264,9 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
         flat = cand.reshape(B * P)
         gen = jnp.arange(B * P)
         finite = jnp.isfinite(flat)
-        eq = ((h_list[0][:, None] == h_list[0][None, :])
-              & (h_list[1][:, None] == h_list[1][None, :]))
+        eq = functools.reduce(
+            jnp.logical_and,
+            [(h[:, None] == h[None, :]) for h in h_list])
         dup = (eq & (gen[None, :] < gen[:, None]) & finite[None, :]
                & (flat[None, :] >= flat[:, None]))
         cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
@@ -325,23 +324,30 @@ def _window_offsets(covered_all, S, window):
     return off
 
 
+_NUM_FINGERPRINTS = 3
+
+
 def _hash_consts(max_alleles, S, ploidy):
     """Deterministic positive fingerprint vectors for block dedup
     (positive so masked-out columns contribute consistently-signed
-    zeros; see _step's dedup note)."""
+    zeros; see _step's dedup note). Three independent fingerprints:
+    true duplicates match all three bitwise (each reduction is
+    reproduced term-for-term); distinct blocks must collide in three
+    independent float32 projections at once — ~2^-69 per candidate
+    pair, i.e. beyond any practical workload's pair count (a run of
+    10^12 candidate pairs has < 10^-8 odds of a single false dedup)."""
     rng = np.random.default_rng(0xF10E1A)
-    v1 = jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
-                     dtype=jnp.float32)
-    v2 = jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
-                     dtype=jnp.float32)
-    g1 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
-    g2 = jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
-    return v1, v2, g1, g2
+    vs = [jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
+                      dtype=jnp.float32)
+          for _ in range(_NUM_FINGERPRINTS)]
+    gs = [jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
+          for _ in range(_NUM_FINGERPRINTS)]
+    return vs, gs
 
 
 def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
-               wa, z1, z2, num_reads, eps, width, ploidy, out_slots,
-               window, g1, g2, part_active=None, dedup=True):
+               wa, zs, num_reads, eps, width, ploidy, out_slots,
+               window, gs, part_active=None, dedup=True):
     """hist-state twin of _step: the beam state is the per-slot
     assignment history hist[B, P, R] (one-hot over reads) instead of the
     materialized count tensor. The window's counts are reconstructed
@@ -392,7 +398,7 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
 
     if dedup:
         h_list = []
-        for z, gp in ((z1, g1), (z2, g2)):
+        for z, gp in zip(zs, gs):
             zt = jax.lax.dynamic_slice(z, (0, start_t), (R, 1))[:, 0]
             ph = jnp.einsum("bpr,r->bp", hist, zt,
                             preferred_element_type=jnp.float32)
@@ -402,8 +408,9 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
         flat = cand.reshape(B * P)
         gen = jnp.arange(B * P)
         finite = jnp.isfinite(flat)
-        eq = ((h_list[0][:, None] == h_list[0][None, :])
-              & (h_list[1][:, None] == h_list[1][None, :]))
+        eq = functools.reduce(
+            jnp.logical_and,
+            [(h[:, None] == h[None, :]) for h in h_list])
         dup = (eq & (gen[None, :] < gen[:, None]) & finite[None, :]
                & (flat[None, :] >= flat[:, None]))
         cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
@@ -463,10 +470,9 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
         None, :, None]).astype(jnp.float32)
     offs = _window_offsets(covered_all, S, window)
     starts = _read_starts(covered_all, S)
-    v1, v2, g1, g2 = _hash_consts(A, S, P)
+    vs, gs = _hash_consts(A, S, P)
     wa = oh_all * weights[:, None, :]                       # [R, A, S]
-    z1 = _suffix_hash(weights, oh_all, v1)
-    z2 = _suffix_hash(weights, oh_all, v2)
+    zs = [_suffix_hash(weights, oh_all, v) for v in vs]
 
     hist = jnp.zeros((B1, P, R), dtype=jnp.float32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
@@ -481,8 +487,8 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
             t, off_t, st_t, a_cov, w_t, oh_t = xs
             hist, score, live, parent, part = _step_hist(
                 hist, score, live, t, off_t, st_t, a_cov, w_t, oh_t,
-                wa, z1, z2, num_reads, eps, width=width, ploidy=P,
-                out_slots=out_slots, window=window, g1=g1, g2=g2,
+                wa, zs, num_reads, eps, width=width, ploidy=P,
+                out_slots=out_slots, window=window, gs=gs,
                 part_active=part_active, dedup=dedup)
             # int8 traceback records: parent < B1 <= 127, part < P —
             # quarters the result download vs int32.
@@ -502,9 +508,9 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
 
     hist, score, live, tr_parent, tr_part = _step_hist(
         hist, score, live, jnp.int32(T1), offs[T1], starts[T1],
-        covered_all[T1], weights[T1], oh_all[T1], wa, z1, z2,
+        covered_all[T1], weights[T1], oh_all[T1], wa, zs,
         num_reads, eps, width=W, ploidy=P, out_slots=W, window=window,
-        g1=g1, g2=g2, part_active=part_active, dedup=dedup)
+        gs=gs, part_active=part_active, dedup=dedup)
     tr_parent = tr_parent.astype(rec_dt)
     tr_part = tr_part.astype(rec_dt)
 

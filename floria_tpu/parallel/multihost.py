@@ -128,14 +128,33 @@ def run_multihost(options: Options, num_processes: int, process_id: int,
 
 
 def _barrier(num_processes: int) -> None:
-    """All processes must have written their TSVs before rank 0 merges."""
+    """All processes must have written their TSVs before rank 0 merges.
+
+    Uses the coordination-service barrier, not a device collective:
+    sync_global_devices lazily builds the CPU backend's Gloo mesh with
+    a ~30 s connect window, so rank completion skew beyond that (normal
+    at hundreds of contigs per shard) kills the run. The KV-store
+    barrier rides the connection jax.distributed.initialize already
+    holds and tolerates hours of skew."""
     if num_processes <= 1:
         return
     import jax
+
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier("floria_tpu_tsv_merge",
+                                   6 * 3600 * 1000)
+            return
+    except Exception:
+        pass  # fall back to the collective barrier
     from jax.experimental import multihost_utils
 
-    if jax.process_count() > 1:
-        multihost_utils.sync_global_devices("floria_tpu_tsv_merge")
+    multihost_utils.sync_global_devices("floria_tpu_tsv_merge")
 
 
 def _merge_ploidy_tsvs(options: Options,

@@ -46,11 +46,10 @@ def main():
         starts = bk._read_starts(covered, Sl)
         wa = oh * weights[:, None, :]
         if dedup:
-            v1, v2, g1, g2 = bk._hash_consts(A, Sl, P)
-            z1 = bk._suffix_hash(weights, oh, v1)
-            z2 = bk._suffix_hash(weights, oh, v2)
+            vs, gs = bk._hash_consts(A, Sl, P)
+            zs = [bk._suffix_hash(weights, oh, v) for v in vs]
         else:
-            g1 = g2 = z1 = z2 = None
+            gs = zs = None
         hist = jnp.zeros((B, P, Rl), dtype=jnp.float32)
         score = jnp.where(jnp.arange(B) == 0, 0.0, jnp.inf).astype(
             jnp.float32)
@@ -61,8 +60,8 @@ def main():
             t, off_t, st_t, a_cov, w_t, oh_t = xs
             hist, score, live, parent, part = bk._step_hist(
                 hist, score, live, t, off_t, st_t, a_cov, w_t, oh_t,
-                wa, z1, z2, num_reads, epsf, width=width, ploidy=P,
-                out_slots=B, window=win, g1=g1, g2=g2,
+                wa, zs, num_reads, epsf, width=width, ploidy=P,
+                out_slots=B, window=win, gs=gs,
                 part_active=part_active, dedup=dedup)
             return (hist, score, live), (parent, part)
 
