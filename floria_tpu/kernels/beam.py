@@ -192,9 +192,9 @@ def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
                           num_parts.astype(jnp.int32)))
 
 
-def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-          eps, width, ploidy, out_slots, window, part_active=None,
-          start_t=None, hash_consts=None):
+def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
+          num_reads, eps, width, ploidy, out_slots, window,
+          part_active=None, start_t=None, hash_consts=None):
     """Insert read t into every live beam; keep the best `width` of the
     top `out_slots` candidates. counts: [B, P, A, S]; compute touches
     only the `window` columns starting at off_t (see beam_search_batch).
@@ -209,12 +209,10 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     strictly better than every earlier (generation-order) one survives —
     closed form of the reference's sequential keep-the-worse scan, since
     kept scores form a strictly decreasing-MEC chain. Equality is
-    detected by three independent linear fingerprints (identical
-    truncated blocks are bitwise identical here: both chains added the
-    same reads to the same parts in the same scan order, so each cell
-    and hence each fingerprint reduction is reproduced bit-for-bit;
-    distinct blocks collide with probability ~2^-69 per pair — see
-    _hash_consts)."""
+    detected on qstate[B, P, F, S] — per-slot per-part wrapping-uint32
+    fingerprint columns q[.., f, s] = sum of (w * 2^26) * H_f[allele, s]
+    over the part's reads — whose suffix sums reproduce the reference's
+    exact truncated-map equality order-free (see _hash_consts)."""
     B, P, A, S = counts.shape
     cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
     div = jnp.float32(constants.DIV_FACTOR)
@@ -248,19 +246,29 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     cand = jnp.where(keep & live[:, None],
                      score[:, None] + diff, INF)            # [B, P]
 
+    contribs = None
     if hash_consts is not None:
-        vs, gs = hash_consts                 # [A, S] x3, [P] x3
+        hs, gs = hash_consts             # [A, S] x F, [P] x F (uint32)
+        F = len(hs)
         start_loc = start_t - off_t if window < S else start_t
-        colmask = (jnp.arange(window) >= start_loc).astype(jnp.float32)
+        colmask_u = (jnp.arange(window) >= start_loc).astype(jnp.uint32)
+        qwin = (jax.lax.dynamic_slice(qstate, (0, 0, 0, off_t),
+                                      (B, P, F, window))
+                if window < S else qstate)
+        mt = _int_weights(w_w)                               # [Wn] u32
+        oh_u = oh_w.astype(jnp.uint32)
+        contribs = []
         h_list = []
-        for v, gp in zip(vs, gs):
-            vw = (jax.lax.dynamic_slice(v, (0, off_t), (A, window))
-                  if window < S else v)
+        for f, (h, gp) in enumerate(zip(hs, gs)):
+            hw = (jax.lax.dynamic_slice(h, (0, off_t), (A, window))
+                  if window < S else h)
+            c = mt * (oh_u * hw).sum(axis=0)                 # [Wn] u32
+            contribs.append(c)
             # Truncated-parent fingerprint + the read's delta per part.
-            ph = jnp.einsum("bpas,as->bp", win, vw * colmask[None],
-                            preferred_element_type=jnp.float32) @ gp
-            rc = (oh_w * w_w[None] * vw).sum()
-            h_list.append((ph[:, None] + gp[None, :] * rc).reshape(B * P))
+            ph = (qwin[:, :, f] * colmask_u[None, None]).sum(-1)
+            rc = (c * colmask_u).sum()
+            h_list.append(((ph * gp[None, :]).sum(-1)[:, None]
+                           + gp[None, :] * rc).reshape(B * P))
         flat = cand.reshape(B * P)
         gen = jnp.arange(B * P)
         finite = jnp.isfinite(flat)
@@ -293,6 +301,26 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
                                                   (0, 0, 0, off_t))
     else:
         counts_out = jnp.where(valid, neww, base)
+
+    if hash_consts is not None:
+        # Integer fingerprint state follows the same gather/update;
+        # indexed take (not the float one-hot matmul) keeps it in u32.
+        newq = jnp.take(qwin, parent, axis=0)     # [out, P, F, Wn]
+        cstack = jnp.stack(contribs)              # [F, Wn]
+        newq = newq + (part_oh.astype(jnp.uint32)[:, :, None, None]
+                       * cstack[None, None])
+        qbase = qstate if out_slots == B else qstate[:out_slots]
+        if window < S:
+            newq = jnp.where(valid, newq,
+                             jax.lax.dynamic_slice(
+                                 qbase, (0, 0, 0, off_t),
+                                 (out_slots, P, F, window)))
+            qstate_out = jax.lax.dynamic_update_slice(
+                qbase, newq, (0, 0, 0, off_t))
+        else:
+            qstate_out = jnp.where(valid, newq, qbase)
+    else:
+        qstate_out = qstate if out_slots == B else qstate[:out_slots]
     score_out = jnp.where(valid, new_score,
                           score if out_slots == B else score[:out_slots])
     live_out = jnp.where(valid, new_live,
@@ -300,7 +328,8 @@ def _step(counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
     out_parent = jnp.where(valid, parent,
                            jnp.arange(out_slots)).astype(jnp.int32)
     out_part = jnp.where(valid, part, -1).astype(jnp.int32)
-    return counts_out, score_out, live_out, out_parent, out_part
+    return counts_out, qstate_out, score_out, live_out, out_parent, \
+        out_part
 
 
 def _read_starts(covered_all, S):
@@ -324,25 +353,57 @@ def _window_offsets(covered_all, S, window):
     return off
 
 
-_NUM_FINGERPRINTS = 3
+_NUM_FINGERPRINTS = 2
+
+# Weight-to-integer scale for dedup fingerprints: every phred-table
+# weight 1 - 10^(-q/10) computed in float32 (frag.phred_weight,
+# utils_frags.rs:702-711) is an exact multiple of 2^-26 (its f32
+# exponent is >= -3 for every q >= 1, leaving the 24-bit mantissa on a
+# 2^-26 grid), so w * 2^26 is an exact f32 integer < 2^26.
+_WEIGHT_SCALE = float(1 << 26)
+
+
+def _int_weights(weights):
+    """weights * 2^26 as exact uint32 (see _WEIGHT_SCALE)."""
+    return (weights * jnp.float32(_WEIGHT_SCALE)).astype(jnp.uint32)
 
 
 def _hash_consts(max_alleles, S, ploidy):
-    """Deterministic positive fingerprint vectors for block dedup
-    (positive so masked-out columns contribute consistently-signed
-    zeros; see _step's dedup note). Three independent fingerprints:
-    true duplicates match all three bitwise (each reduction is
-    reproduced term-for-term); distinct blocks must collide in three
-    independent float32 projections at once — ~2^-69 per candidate
-    pair, i.e. beyond any practical workload's pair count (a run of
-    10^12 candidate pairs has < 10^-8 odds of a single false dedup)."""
+    """Deterministic uint32 fingerprint constants for block dedup.
+
+    Dedup must reproduce the reference's exact HapBlock equality
+    (global_clustering.rs:122-127; HapBlock is Vec<FxHashMap<pos,
+    FxHashMap<allele, OrderedFloat<f64>>>>, types_structs.rs:13-15,253).
+    Every allele weight is an exact multiple of 2^-26 (_WEIGHT_SCALE),
+    and the reference's f64 per-(site, allele) sums of < 2^19 such terms
+    are EXACT (45 < 53 mantissa bits) hence order-free — so HapBlock
+    equality is equality of per-(site, allele) INTEGER sums of
+    m = w * 2^26. A wrapping-uint32 linear fingerprint
+    h(part) = sum_{site, allele} intsum * H[allele, site]  (mod 2^32)
+    detects that exactly: true duplicates ALWAYS match (integer
+    arithmetic is associative and order-free — float32 fingerprints,
+    used before round 3, missed duplicates whose accumulation orders
+    rounded differently), and distinct blocks must collide in
+    _NUM_FINGERPRINTS independent 32-bit projections at once (~2^-60
+    per candidate pair with the odd per-part mixers; a run of 10^12
+    candidate pairs has ~1e-6 odds of a single false dedup).
+
+    Known corner: a (site, allele) entry PRESENT with total weight 0
+    (possible only via phred-0 bases) fingerprints like an absent
+    entry. The reference's scoring already treats the two identically
+    (the all-zero test in dist_eps, utils_frags.rs:696-700); only its
+    dedup could tell them apart.
+    """
     rng = np.random.default_rng(0xF10E1A)
-    vs = [jnp.asarray(rng.uniform(0.5, 2.0, (max_alleles, S)),
-                      dtype=jnp.float32)
+    hs = [jnp.asarray(rng.integers(0, 1 << 32, (max_alleles, S),
+                                   dtype=np.uint32))
           for _ in range(_NUM_FINGERPRINTS)]
-    gs = [jnp.asarray(rng.uniform(0.5, 2.0, ploidy), dtype=jnp.float32)
+    # Odd per-part mixers: odd multipliers are bijections mod 2^32, so
+    # a single-part difference can never be annihilated by its mixer.
+    gs = [jnp.asarray(rng.integers(0, 1 << 32, ploidy,
+                                   dtype=np.uint32) | np.uint32(1))
           for _ in range(_NUM_FINGERPRINTS)]
-    return vs, gs
+    return hs, gs
 
 
 def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
@@ -356,11 +417,12 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
     showed is the beam step's bottleneck on TPU (the permutation of an
     ~80 MB counts state dominated; hist is ~8 MB).
 
-    Truncated-block fingerprints for dedup come from per-read suffix
-    sums z[r, s] = sum_{s'>=s} w*v(allele) — a read fully left of the
-    truncation frontier contributes exactly +0.0 to every part's
-    fingerprint, so duplicate chains (differing only in such reads'
-    parts) hash bitwise-identically, term for term."""
+    Truncated-block fingerprints for dedup come from per-read uint32
+    suffix sums zint[r, s] = sum_{s'>=s} (w * 2^26) * H[allele, s']
+    (mod 2^32): wrapping integer arithmetic is order-free, so any two
+    chains whose truncated blocks are equal (as the reference's exact
+    per-(site, allele)-sum maps, see _hash_consts) hash identically by
+    construction, whatever reads produced them."""
     B, P, R = hist.shape
     A, S = oh_t.shape
     cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
@@ -398,12 +460,12 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
 
     if dedup:
         h_list = []
+        histu = hist.astype(jnp.uint32)
         for z, gp in zip(zs, gs):
             zt = jax.lax.dynamic_slice(z, (0, start_t), (R, 1))[:, 0]
-            ph = jnp.einsum("bpr,r->bp", hist, zt,
-                            preferred_element_type=jnp.float32)
+            ph = (histu * zt[None, None, :]).sum(axis=-1)    # [B, P] u32
             rc = zt[t]  # the read's own full contribution
-            h_list.append(((ph @ gp)[:, None]
+            h_list.append(((ph * gp[None, :]).sum(axis=-1)[:, None]
                            + gp[None, :] * rc).reshape(B * P))
         flat = cand.reshape(B * P)
         gen = jnp.arange(B * P)
@@ -437,11 +499,14 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
     return hist_out, score_out, live_out, out_parent, out_part
 
 
-def _suffix_hash(weights, oh_all, v):
-    """z[r, s] = sum_{s' >= s} w[r, s'] * v[allele_{r,s'}, s'], padded
-    with a zero column at s = S (fully truncated reads hash to +0)."""
-    contrib = (oh_all * v[None]).sum(axis=1) * weights      # [R, S]
-    z = jnp.cumsum(contrib[:, ::-1], axis=1)[:, ::-1]
+def _suffix_hash(weights, oh_all, h):
+    """zint[r, s] = sum_{s' >= s} m[r, s'] * H[allele_{r,s'}, s'] in
+    wrapping uint32 (m = w * 2^26, see _hash_consts), padded with a zero
+    column at s = S (fully truncated reads hash to exactly 0)."""
+    hsel = (oh_all.astype(jnp.uint32) * h[None]).sum(axis=1)  # [R, S]
+    contrib = _int_weights(weights) * hsel
+    z = jnp.cumsum(contrib[:, ::-1], axis=1,
+                   dtype=jnp.uint32)[:, ::-1]
     return jnp.concatenate(
         [z, jnp.zeros((z.shape[0], 1), dtype=z.dtype)], axis=1)
 
@@ -552,8 +617,10 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     offs = _window_offsets(covered_all, S, window)
     starts = _read_starts(covered_all, S)
     hc = _hash_consts(A, S, P) if dedup else None
+    nf = _NUM_FINGERPRINTS if dedup else 0
 
     counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
+    qstate = jnp.zeros((B1, P, nf, S), dtype=jnp.uint32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
         jnp.float32)
     live = jnp.arange(B1) == 0
@@ -561,19 +628,20 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     T1 = min(constants.BEAM_WARMUP_READS, R)
 
     def warm_step(state, xs):
-        counts, score, live = state
+        counts, qstate, score, live = state
         t, off_t, st_t, a_cov, w_t, oh_t = xs
-        counts, score, live, parent, part = _step(
-            counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-            eps, width=warm_width, ploidy=P, out_slots=B1,
+        counts, qstate, score, live, parent, part = _step(
+            counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
+            num_reads, eps, width=warm_width, ploidy=P, out_slots=B1,
             window=window, part_active=part_active, start_t=st_t,
             hash_consts=hc)
-        return ((counts, score, live),
+        return ((counts, qstate, score, live),
                 (parent.astype(rec_dt), part.astype(rec_dt)))
 
     ts = jnp.arange(R, dtype=jnp.int32)
-    (counts, score, live), (warm_parents, warm_parts) = jax.lax.scan(
-        warm_step, (counts, score, live),
+    ((counts, qstate, score, live),
+     (warm_parents, warm_parts)) = jax.lax.scan(
+        warm_step, (counts, qstate, score, live),
         (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
          weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
@@ -582,26 +650,28 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
         return (warm_parents, warm_parts, empty, empty, score, live)
 
     # Transition step (read index T1): full B1 parent space, width W.
-    counts, score, live, tr_parent, tr_part = _step(
-        counts, score, live, jnp.int32(T1), offs[T1], covered_all[T1],
-        weights[T1], oh_all[T1], num_reads, eps, width=W, ploidy=P,
-        out_slots=W, window=window, part_active=part_active,
-        start_t=starts[T1], hash_consts=hc)
+    counts, qstate, score, live, tr_parent, tr_part = _step(
+        counts, qstate, score, live, jnp.int32(T1), offs[T1],
+        covered_all[T1], weights[T1], oh_all[T1], num_reads, eps,
+        width=W, ploidy=P, out_slots=W, window=window,
+        part_active=part_active, start_t=starts[T1], hash_consts=hc)
     tr_parent = tr_parent.astype(rec_dt)
     tr_part = tr_part.astype(rec_dt)
 
     def main_step(state, xs):
-        counts, score, live = state
+        counts, qstate, score, live = state
         t, off_t, st_t, a_cov, w_t, oh_t = xs
-        counts, score, live, parent, part = _step(
-            counts, score, live, t, off_t, a_cov, w_t, oh_t, num_reads,
-            eps, width=W, ploidy=P, out_slots=W, window=window,
-            part_active=part_active, start_t=st_t, hash_consts=hc)
-        return ((counts, score, live),
+        counts, qstate, score, live, parent, part = _step(
+            counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
+            num_reads, eps, width=W, ploidy=P, out_slots=W,
+            window=window, part_active=part_active, start_t=st_t,
+            hash_consts=hc)
+        return ((counts, qstate, score, live),
                 (parent.astype(rec_dt), part.astype(rec_dt)))
 
-    (counts, score, live), (m_parents, m_parts) = jax.lax.scan(
-        main_step, (counts, score, live),
+    ((counts, qstate, score, live),
+     (m_parents, m_parts)) = jax.lax.scan(
+        main_step, (counts, qstate, score, live),
         (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
          covered_all[T1 + 1:], weights[T1 + 1:], oh_all[T1 + 1:]),
         unroll=_SCAN_UNROLL)

@@ -186,9 +186,43 @@ def phase_contigs_blocks(per_contig, options: Options
     if not blocks:
         return out
 
+    chosen, mec_vec, _exp_vec = adaptive_sweep(blocks, options)
+
+    for (ci, j), bt in blocks:
+        ckey = per_contig[ci][0]
+        debug_dir = per_contig[ci][3]
+        mec_vector = mec_vec[(ci, j)]
+        best_ploidy, assignment = chosen[(ci, j)]
+        part_ids = [bt.frag_ids[assignment == p]
+                    for p in range(best_ploidy)]
+        out[ckey].append(LocalBlockResult(
+            block_index=j, snp_range=bt.snp_range,
+            best_ploidy=best_ploidy, part_frag_ids=part_ids,
+            mec_vector=mec_vector))
+        if debug_dir is not None:
+            _dump_local_parts(debug_dir, j, bt, part_ids, best_ploidy,
+                              contig_frags[ci])
+    return out
+
+
+def adaptive_sweep(blocks, options: Options,
+                   cache: Optional["BlockDeviceCache"] = None) -> Tuple[
+                       Dict[object, Tuple[int, np.ndarray]],
+                       Dict[object, np.ndarray],
+                       Dict[object, np.ndarray]]:
+    """The production ploidy sweep over a list of (key, BlockTensor)
+    instances: adaptive level-wise dispatch with chained beam->UPEM
+    device waves and host-side stopping-rule replay.
+
+    Returns ({key: (best_ploidy, assignment)}, {key: mec_vector},
+    {key: expected_errors}). Factored out of phase_contigs_blocks so the
+    multi-chip dryrun (__graft_entry__.dryrun_multichip) certifies the
+    exact dispatch path the pipeline runs.
+    """
     _log = logging.getLogger("floria_tpu")
     sweep_t = time.time()
-    cache = BlockDeviceCache(blocks)
+    if cache is None:
+        cache = BlockDeviceCache(blocks)
     max_p = options.max_ploidy
     mec_vec = {key: np.zeros(max_p) for key, _bt in blocks}
     exp_vec = {key: np.zeros(max_p) for key, _bt in blocks}
@@ -240,22 +274,7 @@ def phase_contigs_blocks(per_contig, options: Options
         active = next_active
     _log.info("Beam search: %d blocks, adaptive chained sweep <= %d in "
               "%.2fs", len(blocks), max_p, time.time() - sweep_t)
-
-    for (ci, j), bt in blocks:
-        ckey = per_contig[ci][0]
-        debug_dir = per_contig[ci][3]
-        mec_vector = mec_vec[(ci, j)]
-        best_ploidy, assignment = chosen[(ci, j)]
-        part_ids = [bt.frag_ids[assignment == p]
-                    for p in range(best_ploidy)]
-        out[ckey].append(LocalBlockResult(
-            block_index=j, snp_range=bt.snp_range,
-            best_ploidy=best_ploidy, part_frag_ids=part_ids,
-            mec_vector=mec_vector))
-        if debug_dir is not None:
-            _dump_local_parts(debug_dir, j, bt, part_ids, best_ploidy,
-                              contig_frags[ci])
-    return out
+    return chosen, mec_vec, exp_vec
 
 
 def _dump_local_parts(debug_dir: str, j: int, bt: BlockTensor, part_ids,
@@ -411,7 +430,14 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
 
     launch_t = time.time()
     pending = _parallel_launch(_launch, items)
-    timing.add("beam", time.time() - launch_t)
+    # Honest attribution: this span covers only enqueueing the async
+    # dispatches (plus first-call trace/deserialize). The chained
+    # beam->UPEM device EXECUTION drains inside _sweep_pull's result
+    # wait — by design there is exactly one pull per level, so a
+    # beam-vs-UPEM execution split is not observable from the host.
+    # (BENCH_r02's seeming "upem 3.2s / beam 0.1s" anomaly was this
+    # attribution, not a UPEM regression.)
+    timing.add("phase.launch", time.time() - launch_t)
     for _m, _p, best, mec in pending:
         for a in (best, mec):
             if hasattr(a, "copy_to_host_async"):
@@ -425,7 +451,9 @@ def _sweep_pull(pending: list) -> Tuple[
     pull_t = time.time()
     flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
     hosts = _parallel_launch(np.asarray, flat)
-    timing.add("upem", time.time() - pull_t)
+    # Chained beam+UPEM device execution AND the result download drain
+    # in this wait (see _sweep_launch's attribution note).
+    timing.add("phase.wait", time.time() - pull_t)
     refined: Dict[Tuple[object, int], np.ndarray] = {}
     stats: Dict[Tuple[object, int], Tuple[float, float]] = {}
     for i, (members, ploidy, _b, _m) in enumerate(pending):

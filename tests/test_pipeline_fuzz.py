@@ -80,9 +80,11 @@ def test_pipeline_fuzz_matches_oracle(seed, tmp_path):
         got_haplosets = f.read()
     with open(os.path.join(cdir, "vartig_info.txt")) as f:
         got_info = f.read()
+    with open(os.path.join(str(out_dir), "contig_ploidy_info.tsv")) as f:
+        got_ploidy = f.read().splitlines()[-1] + "\n"
 
     frags, _nosnp, cv = _ingest_like_pipeline(opts, contig)
-    parts, ranges, hapqs, rel, _avg = oracle_pipeline.phase_contig(
+    parts, ranges, hapqs, rel, avg_err = oracle_pipeline.phase_contig(
         frags, cv.genome_pos, opts)
     want_vartigs = oracle_pipeline.vartigs_text(
         parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
@@ -90,7 +92,11 @@ def test_pipeline_fuzz_matches_oracle(seed, tmp_path):
         parts, ranges, cdir, contig, frags, cv.genome_pos, hapqs, rel)
     want_info = oracle_pipeline.vartig_info_text(
         parts, ranges, cdir, frags, cv.genome_pos)
+    want_ploidy = oracle_pipeline.ploidy_row(
+        parts, ranges, contig, frags, cv.genome_pos, hapqs, avg_err,
+        cfg.contig_len)
 
     assert got_vartigs == want_vartigs, f"vartigs mismatch, cfg={cfg}"
     assert got_haplosets == want_haplosets, f"haplosets mismatch, cfg={cfg}"
     assert got_info == want_info, f"vartig_info mismatch, cfg={cfg}"
+    assert got_ploidy == want_ploidy, f"ploidy row mismatch, cfg={cfg}"
