@@ -36,16 +36,59 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
     if num_processes is None or num_processes <= 1:
         return 0
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        # Already initialized (a second run_multihost in this process,
+        # or a caller that initialized before heavy imports).
+        _allow_rank_cache_writes()
+        return jax.process_index()
     try:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        # Tolerate a caller that already initialized (e.g. before heavy
-        # imports); everything else is a real failure.
+        # Tolerate a caller that already initialized; everything else
+        # is a real failure.
         if "already" not in str(e) and "once" not in str(e):
             raise
+    _allow_rank_cache_writes()
     return jax.process_index()
+
+
+def _allow_rank_cache_writes() -> None:
+    """Let every rank persist its XLA compilations, not just rank 0.
+
+    jax._src.compiler._cache_write hard-gates persistent-cache writes to
+    process 0 — a write-contention guard for shared filesystems like
+    GCS. Under contig sharding each rank jits ITS OWN shard's shape
+    variants, which rank 0 never compiles, so with the gate every
+    rank > 0 silently re-pays its full compile bill on every restart
+    (measured: 35 s/rank on the 16-contig CPU scaling bench vs 7 s for
+    rank 0). This framework configures machine-local cache dirs
+    (floria_tpu.__init__._enable_compilation_cache), where concurrent
+    writes are unique-key temp+rename files — safe — so lift the gate by
+    rebinding the function's view of `distributed` to a process_id-0
+    stub (the code itself is unchanged; reads were never gated).
+    Best-effort: a JAX that renames these internals just keeps the
+    stock rank-0-only behavior."""
+    try:
+        import types
+
+        from jax._src import compiler as _compiler
+
+        orig = _compiler._cache_write
+        if getattr(orig, "_floria_rank_writes", False):
+            return
+        stub = types.SimpleNamespace(global_state=types.SimpleNamespace(
+            process_id=0))
+        patched = types.FunctionType(
+            orig.__code__, {**orig.__globals__, "distributed": stub},
+            orig.__name__, orig.__defaults__, orig.__closure__)
+        patched._floria_rank_writes = True  # type: ignore[attr-defined]
+        _compiler._cache_write = patched
+    except Exception:  # pragma: no cover - cache remains rank-0-only
+        pass
 
 
 def contigs_for_process(contigs: List[str], process_id: int,

@@ -16,6 +16,7 @@ values of earlier ploidies, never whether later ones ran.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -355,6 +356,44 @@ class BlockDeviceCache:
                     jnp.take(dev_q, idx, axis=0)))
 
 
+@functools.lru_cache(maxsize=None)
+def _sweep_chain_fn(ploidy: int, beam_width: int, window: int,
+                    max_alleles: int):
+    """ONE jitted program for a whole sweep level on one device:
+    cache gather -> device weight reconstruction -> mixed beam ->
+    on-device traceback -> device UPEM. Fusing the chain collapses the
+    ~6 jit variants per (shape, ploidy) the split dispatches cost into
+    one executable — a fresh process used to pay ~0.3-1 s of trace +
+    AOT-deserialize PER variant (72 variants on a 125-contig shard =
+    13-16 s of the 4-process scaling run's per-rank fixed cost; the
+    remote-TPU path pays the same tax per variant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.upem_batch import upem_optimize_device
+
+    @jax.jit
+    def chain(dev_a, dev_q, idx, nreads, eps):
+        alleles = jnp.take(dev_a, idx, axis=0)
+        weights = beam_kernel.quals_to_weights(
+            jnp.take(dev_q, idx, axis=0))
+        if ploidy == 1:
+            assigns = jnp.zeros(alleles.shape[:2], jnp.int32)
+        else:
+            nparts = jnp.full(alleles.shape[0], ploidy, jnp.int32)
+            result = beam_kernel.beam_search_batch_mixed(
+                alleles, weights, nreads, eps, nparts, ploidy,
+                beam_width, max_alleles=max_alleles, window=window)
+            assigns = beam_kernel.traceback_batch(
+                tuple(result)).astype(jnp.int32)
+        best, mec, _diff = upem_optimize_device(
+            alleles, weights, assigns, nreads, eps, ploidy,
+            max_alleles=max_alleles)
+        return best, mec
+
+    return chain
+
+
 def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
                   ploidies) -> list:
     """Async-launch one wave of chained beam->UPEM dispatch chains for
@@ -395,10 +434,20 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
             for lo in range(0, len(members), g_cap):
                 items.append((ploidy, key, members[lo:lo + g_cap]))
 
+    import jax
+
+    n_dev = jax.local_device_count()
+    if options.num_devices is not None:
+        n_dev = min(n_dev, options.num_devices)
+
     def _launch(item):
         ploidy, (r_pad, s_pad), members = item
         G = len(members)
-        G_pad = 1 << max(0, (G - 1)).bit_length()
+        # pow2 batch dim with a floor of 8: dispatches below 8 are the
+        # adaptive sweep's long tail (few undecided blocks at deep
+        # ploidies), where padding is absolutely cheap but each distinct
+        # G_pad is another jit variant a fresh process must deserialize.
+        G_pad = max(8, 1 << max(0, (G - 1)).bit_length())
         nreads = np.zeros(G_pad, dtype=np.int32)
         max_span = 0
         for g, (j, bt) in enumerate(members):
@@ -407,16 +456,26 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
         eps = np.full(G_pad, options.epsilon, dtype=np.float32)
         ids = [j for j, _bt in members]
         ids += [ids[0]] * (G_pad - G)
-        alleles, weights = cache.gather((r_pad, s_pad), ids)
         amax = cache.amax[(r_pad, s_pad)]
+        # Same sliding-window policy as phase_instances.
+        window = round_up(max_span + 128, 256)
+        if window * 4 > s_pad:
+            window = 0
+        if n_dev <= 1:
+            # Single-device (the production one-chip-per-host case):
+            # the whole level is ONE fused executable (_sweep_chain_fn).
+            dev_a, dev_q = cache.dev[(r_pad, s_pad)]
+            idx = jnp.asarray(np.array([cache.rows[j] for j in ids],
+                                       np.int32))
+            best, mec = _sweep_chain_fn(
+                ploidy, options.max_number_solns, window, amax)(
+                    dev_a, dev_q, idx, nreads, eps)
+            return members, ploidy, best, mec
+        alleles, weights = cache.gather((r_pad, s_pad), ids)
         if ploidy == 1:
             assigns = jnp.zeros((G_pad, r_pad), jnp.int32)
         else:
             nparts = np.full(G_pad, ploidy, dtype=np.int32)
-            # Same sliding-window policy as phase_instances.
-            window = round_up(max_span + 128, 256)
-            if window * 4 > s_pad:
-                window = 0
             result = _dispatch_beam(alleles, weights, nreads, eps,
                                     nparts, ploidy,
                                     options.max_number_solns, options,

@@ -41,6 +41,12 @@ class SimConfig:
     # pair/supp merge path (file_reader.rs:185-235, 693-735) end to end.
     supp_read_fraction: float = 0.0
     supp_gap: int = 3_000
+    # Explicit 0-based SNP genome positions (overrides num_snps'
+    # uniform draw): lets tests plant the REAL spacing of the
+    # reference's shipped Longshot VCF (tests/test.vcf — its BAM/FASTA
+    # blobs are stripped from this snapshot, so simulated reads against
+    # the true positions are the closest reachable workload).
+    snp_positions: Optional[Sequence[int]] = None
     seed: int = 7
 
 
@@ -54,9 +60,16 @@ class SimTruth:
 def _community(rng: np.random.Generator, cfg: SimConfig):
     """Reference + planted SNP truth + per-strain haplotype sequences."""
     ref = _BASES[rng.integers(0, 4, cfg.contig_len)]
-    snp_pos = np.sort(rng.choice(
-        np.arange(50, cfg.contig_len - 50), size=cfg.num_snps,
-        replace=False))
+    if cfg.snp_positions is not None:
+        snp_pos = np.sort(np.asarray(cfg.snp_positions, dtype=np.int64))
+        if (snp_pos[0] < 0 or snp_pos[-1] >= cfg.contig_len
+                or len(np.unique(snp_pos)) != len(snp_pos)):
+            raise ValueError("snp_positions out of range or duplicated")
+        cfg.num_snps = len(snp_pos)
+    else:
+        snp_pos = np.sort(rng.choice(
+            np.arange(50, cfg.contig_len - 50), size=cfg.num_snps,
+            replace=False))
 
     # Each SNP is biallelic ref/alt; strains carry ref or alt so that at
     # least one strain differs (otherwise the site would not be in the VCF).

@@ -69,7 +69,16 @@ def _free_port() -> int:
 
 
 def worker_main(args) -> None:
-    """One rank: CPU backend, jax.distributed, run_multihost."""
+    """One rank: CPU backend, jax.distributed, run_multihost TWICE.
+
+    Pass 1 (cold: fresh process against a warm machine-local XLA cache
+    — trace + executable-deserialize dominate its fixed cost) phases
+    into a scratch dir; pass 2 (steady: the long-lived pod-process
+    model, jits warm in-process) produces the kept outputs. Per-rank
+    pass times land in rank<pid>.times.json for the parent to
+    aggregate."""
+    import shutil
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -80,14 +89,24 @@ def worker_main(args) -> None:
     from floria_tpu.options import Options
     from floria_tpu.parallel.multihost import run_multihost
 
-    options = Options(
-        bam_file=os.path.join(args.base, "sim.bam"),
-        vcf_file=os.path.join(args.base, "sim.vcf"),
-        reference_fasta=os.path.join(args.base, "sim.fa"),
-        out_dir=args.out, epsilon=0.02, block_length=6_000,
-        overwrite=True)
-    run_multihost(options, args.nproc, args.pid,
-                  coordinator=f"127.0.0.1:{args.port}")
+    times = {}
+    for label, out in (("cold_s", args.out + ".warmup"),
+                       ("steady_s", args.out)):
+        options = Options(
+            bam_file=os.path.join(args.base, "sim.bam"),
+            vcf_file=os.path.join(args.base, "sim.vcf"),
+            reference_fasta=os.path.join(args.base, "sim.fa"),
+            out_dir=out, epsilon=0.02, block_length=6_000,
+            overwrite=True)
+        t0 = time.time()
+        run_multihost(options, args.nproc, args.pid,
+                      coordinator=f"127.0.0.1:{args.port}")
+        times[label] = round(time.time() - t0, 1)
+    if args.pid == 0:
+        shutil.rmtree(args.out + ".warmup", ignore_errors=True)
+    with open(os.path.join(args.out,
+                           f"rank{args.pid}.times.json"), "w") as fh:
+        json.dump(times, fh)
 
 
 def run_config(base: str, out: str, nproc: int, pin: bool,
@@ -105,20 +124,29 @@ def run_config(base: str, out: str, nproc: int, pin: bool,
     me = os.path.abspath(__file__)
     t0 = time.time()
     procs = []
+    os.makedirs(out, exist_ok=True)
+    logs = []
     for pid in range(nproc):
         cmd = [sys.executable, me, "--worker", "--base", base,
                "--out", out, "--nproc", str(nproc), "--pid", str(pid),
                "--port", str(port)]
         if pin:
             cmd = ["taskset", "-c", str(pid % ncores)] + cmd
-        procs.append(subprocess.Popen(cmd, env=env,
-                                      stdout=subprocess.PIPE,
-                                      stderr=subprocess.PIPE))
+        # Worker output goes to FILES, never PIPEs: a rank blocked on a
+        # full 64 KB pipe (the parent drains rank 0 first) stalls
+        # mid-log while rank 0 waits for it at the TSV-merge barrier —
+        # a deadlock at real contig counts (hit at 500, not at 16).
+        log = open(os.path.join(out, f"rank{pid}.log"), "wb")
+        logs.append(log)
+        procs.append(subprocess.Popen(cmd, env=env, stdout=log,
+                                      stderr=subprocess.STDOUT))
     fail = None
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=14_400)
+    for pid, p in enumerate(procs):
+        p.wait(timeout=14_400)
+        logs[pid].close()
         if p.returncode != 0 and fail is None:
-            fail = stderr.decode()[-4000:]
+            with open(os.path.join(out, f"rank{pid}.log")) as fh:
+                fail = fh.read()[-4000:]
     if fail:
         raise RuntimeError(f"worker failed:\n{fail}")
     return time.time() - t0
@@ -183,25 +211,41 @@ def main() -> None:
 
     for i, nproc in enumerate(proc_counts):
         out = os.path.join(base, f"out_p{nproc}")
-        if i == 0 and not args.no_warm:
-            # Discarded pass: populates the persistent XLA cache so
-            # compile cost (fixed per process, absent on a long-lived
-            # deployment) doesn't masquerade as scaling loss, and
-            # faults the BAM into the page cache.
+        if not args.no_warm:
+            # Discarded pass PER PROC COUNT: each rank's contig shard
+            # jits its own shape variants, so the persistent XLA cache
+            # must be populated at every topology (rank > 0 writes need
+            # multihost._allow_rank_cache_writes). Compile cost is fixed
+            # per process and absent on a long-lived deployment, so it
+            # must not masquerade as scaling loss; the pass also faults
+            # the BAM into the page cache.
             shutil.rmtree(out, ignore_errors=True)
             warm_wall = run_config(base, out, nproc, pin, ncores)
             print(json.dumps({"nproc": nproc, "warm_pass_wall_s":
                               round(warm_wall, 1)}), flush=True)
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out + ".warmup", ignore_errors=True)
         wall = run_config(base, out, nproc, pin, ncores)
         reads = count_reads(out)
+        # Per-pass times: slowest rank bounds each pass (the barrier).
+        cold = steady = 0.0
+        for pid in range(nproc):
+            with open(os.path.join(out,
+                                   f"rank{pid}.times.json")) as fh:
+                t = json.load(fh)
+            cold = max(cold, t["cold_s"])
+            steady = max(steady, t["steady_s"])
         results[nproc] = {"wall_s": round(wall, 1),
-                          "reads_per_sec": round(reads / wall, 1),
+                          "cold_s": cold, "steady_s": steady,
+                          "steady_reads_per_sec": round(reads / steady,
+                                                        1),
                           "reads": reads}
         if 1 in results and nproc > 1:
-            t1 = results[1]["wall_s"]
-            results[nproc]["efficiency"] = round(
-                t1 / (nproc * wall), 3)
+            for key, eff in (("cold_s", "cold_efficiency"),
+                             ("steady_s", "steady_efficiency")):
+                t1 = results[1][key]
+                results[nproc][eff] = round(
+                    t1 / (nproc * results[nproc][key]), 3)
         print(json.dumps({"nproc": nproc, **results[nproc]}),
               flush=True)
         if ref_out is None:
