@@ -185,6 +185,68 @@ def _bind(lib) -> None:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
 
 
+def bgzf_member_index(data):
+    """(in_off, out_off, out_size) for every BGZF member of `data`
+    (header scan only, no inflation; out_off is the decoded prefix sum
+    with a trailing total), or None on failure/non-BGZF."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (data.ctypes.data_as(ctypes.c_char_p)
+           if isinstance(data, np.ndarray) else data)
+    cap = max(64, len(data) // 1024)
+    while True:
+        in_off = np.empty(cap, np.int64)
+        out_size = np.empty(cap, np.int64)
+        n = lib.floria_bgzf_index(buf, len(data), in_off, out_size, cap)
+        if n >= 0 or n == -1:
+            break
+        cap = max(cap * 2, -n)
+    if n <= 0:
+        return None
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(out_size[:n], out=out_off[1:])
+    return in_off[:n].copy(), out_off, out_size[:n].copy()
+
+
+def bgzf_inflate_ranges(data, ranges, total_hint=None):
+    """Inflate ONLY the BGZF members intersecting the given decoded
+    [lo, hi) ranges, into a full-decoded-size uint8 array whose
+    untouched regions stay unbacked virtual pages (np.empty). The
+    contig->decoded-range sidecar (ingest/fastingest.py) turns this
+    into the htslib-.bai analog: a rank phasing its contig shard
+    inflates ~1/N of the BAM instead of all of it (a full inflate of
+    the 500-contig scaling workload cost a FIXED ~17 s per rank per
+    run, capping multi-process efficiency)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    idx = bgzf_member_index(data)
+    if idx is None:
+        return None
+    in_off, out_off, out_size = idx
+    n = len(in_off)
+    want = np.zeros(n, dtype=bool)
+    starts = out_off[:-1]
+    ends = out_off[1:]
+    for lo, hi in ranges:
+        if hi > lo:
+            want |= (starts < hi) & (ends > lo)
+    sel = np.flatnonzero(want)
+    out = np.empty(int(out_off[-1]), np.uint8)
+    if len(sel):
+        buf = (data.ctypes.data_as(ctypes.c_char_p)
+               if isinstance(data, np.ndarray) else data)
+        rc = lib.floria_bgzf_inflate_blocks(
+            buf, len(data), np.ascontiguousarray(in_off[sel]),
+            np.ascontiguousarray(starts[sel]),
+            np.ascontiguousarray(out_size[sel]), len(sel),
+            out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1)
+        if rc != 0:
+            return None
+    return out
+
+
 def bgzf_inflate(data: bytes, as_array: bool = False):
     lib = get_lib()
     if lib is None:

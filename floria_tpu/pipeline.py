@@ -43,12 +43,14 @@ from .post.snpless import frags_in_snpless_gaps
 log = logging.getLogger("floria_tpu")
 
 
-def open_bam(path: str):
+def open_bam(path: str, restrict=None):
     """Native-accelerated BAM when the C++ runtime is available, pure
-    Python otherwise."""
+    Python otherwise. `restrict` (contig names) enables the partial
+    decode via the sidecar index (FastBam) — used under contig sharding
+    so each process inflates only its shard's BGZF members."""
     try:
         from .ingest.fastingest import FastBam
-        return FastBam(path)
+        return FastBam(path, restrict=restrict)
     except Exception as e:
         log.debug("native BAM path unavailable (%s); using pure decoder",
                   e)
@@ -89,7 +91,8 @@ def run(options: Options) -> None:
     t0 = time.time()
     log.info("Preprocessing VCF/Reference")
     contigs = bamlib.get_contigs_to_phase(options.bam_file)
-    main_bam = open_bam(options.bam_file)
+    main_bam = open_bam(options.bam_file,
+                        restrict=options.list_to_phase or None)
     short_bam = (open_bam(options.short_bam_file)
                  if options.short_bam_file else None)
     vcf_profile = read_vcf(options.vcf_file, contigs)

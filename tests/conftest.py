@@ -41,3 +41,26 @@ def small_sim(tmp_path_factory):
                     read_length_sd=500.0, error_rate=0.01, seed=3)
     truth = simulate(cfg, str(out))
     return cfg, truth, str(out)
+
+
+@pytest.fixture(autouse=True)
+def _mmap_pressure_guard():
+    """Keep the pytest process under vm.max_map_count (65530 default).
+
+    Every XLA:CPU jitted executable holds ~8 small mmaps (JIT code +
+    data + guard pages) and jit caches accumulate for the whole pytest
+    process; the full suite compiles thousands of shape variants, and
+    once the map count hits the sysctl limit further mmaps fail and
+    LLVM SEGFAULTS mid-compile (observed deterministically at ~124
+    tests). Dropping the compiled-function caches when pressure builds
+    trades a few recompiles for survival. Production pipelines compile
+    ~2 orders of magnitude fewer variants and never get near the limit.
+    """
+    yield
+    try:
+        with open("/proc/self/maps") as fh:
+            n = sum(1 for _ in fh)
+        if n > 40_000:
+            jax.clear_caches()
+    except OSError:  # pragma: no cover - /proc-less platforms
+        pass

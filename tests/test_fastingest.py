@@ -68,3 +68,46 @@ def test_fast_with_realignment(have_native, small_sim):
     pure_by_id = {f.id: f for f in with_p}
     for f in with_f:
         assert f.seq_dict == pure_by_id[f.id].seq_dict
+
+
+def test_partial_decode_matches_full(have_native, tmp_path, monkeypatch):
+    """Sidecar-indexed partial decode (the htslib-.bai analog used by
+    contig sharding) must reproduce the full decode's fields and
+    payloads exactly for the restricted contigs."""
+    from floria_tpu.ingest.fastingest import FastBam
+    from floria_tpu.sim.simulate import SimConfig, simulate_multi
+
+    monkeypatch.setenv("FLORIA_TPU_CACHE", str(tmp_path / "cache"))
+    cfgs = [SimConfig(contig_name=f"c{i}", contig_len=8_000,
+                      num_strains=2, num_snps=40,
+                      coverage_per_strain=4.0, read_length=1_500,
+                      read_length_sd=200.0, seed=900 + i)
+            for i in range(6)]
+    simulate_multi(cfgs, str(tmp_path / "sim"))
+    path = str(tmp_path / "sim" / "sim.bam")
+
+    want = {"c1", "c4"}
+    # No sidecar yet: restricted open falls back to full decode and
+    # WRITES the sidecar.
+    first = FastBam(path, restrict=want)
+    assert first.n_records > 0
+    import os
+    assert os.path.exists(FastBam._sidecar_path(path))
+
+    full = FastBam(path)
+    part = FastBam(path, restrict=want)
+    tids = [full.references.index(c) for c in sorted(want)]
+    sel = np.flatnonzero(np.isin(full.tid, tids))
+    assert part.n_records == len(sel) < full.n_records
+    for nm in ("rec_off", "tid", "pos", "mapq", "flag", "n_cigar",
+               "l_seq", "l_read_name"):
+        np.testing.assert_array_equal(getattr(part, nm),
+                                      getattr(full, nm)[sel])
+    for k in (0, len(sel) // 2, len(sel) - 1):
+        assert part.qname(k) == full.qname(int(sel[k]))
+        assert part.payload(k) == full.payload(int(sel[k]))
+    sb, qb, offs = part.payloads_batch(np.arange(part.n_records))
+    sb2, qb2, offs2 = full.payloads_batch(sel)
+    np.testing.assert_array_equal(sb, sb2)
+    np.testing.assert_array_equal(qb, qb2)
+    np.testing.assert_array_equal(offs, offs2)
