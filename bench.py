@@ -263,7 +263,8 @@ def main():
             result["e2e_warm_reads_per_sec"] = round(w_rps, 1)
             result["e2e_warm_seconds"] = round(w_s, 1)
             result["e2e_warm_stages"] = w_stages
-        _check_stage_regressions(result)
+        if not quick:  # quick-config stage times would poison the bests
+            _check_stage_regressions(result)
     print(json.dumps(result))
 
 

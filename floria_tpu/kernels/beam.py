@@ -251,22 +251,26 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
         hs, gs = hash_consts             # [A, S] x F, [P] x F (uint32)
         F = len(hs)
         start_loc = start_t - off_t if window < S else start_t
-        colmask_u = (jnp.arange(window) >= start_loc).astype(jnp.uint32)
+        colb = jnp.arange(window) >= start_loc               # [Wn] bool
         qwin = (jax.lax.dynamic_slice(qstate, (0, 0, 0, off_t),
                                       (B, P, F, window))
                 if window < S else qstate)
         mt = _int_weights(w_w)                               # [Wn] u32
-        oh_u = oh_w.astype(jnp.uint32)
+        zero = jnp.zeros((), jnp.uint32)
         contribs = []
         h_list = []
         for f, (h, gp) in enumerate(zip(hs, gs)):
             hw = (jax.lax.dynamic_slice(h, (0, off_t), (A, window))
                   if window < S else h)
-            c = mt * (oh_u * hw).sum(axis=0)                 # [Wn] u32
+            # 0/1 contractions as SELECTS (u32 multiplies decompose on
+            # the VPU; see _step_hist's dedup note).
+            c = mt * jnp.where(oh_w != 0, hw, zero).sum(
+                axis=0, dtype=jnp.uint32)                    # [Wn] u32
             contribs.append(c)
             # Truncated-parent fingerprint + the read's delta per part.
-            ph = (qwin[:, :, f] * colmask_u[None, None]).sum(-1)
-            rc = (c * colmask_u).sum()
+            ph = jnp.where(colb[None, None], qwin[:, :, f], zero).sum(
+                -1, dtype=jnp.uint32)
+            rc = jnp.where(colb, c, zero).sum(dtype=jnp.uint32)
             h_list.append(((ph * gp[None, :]).sum(-1)[:, None]
                            + gp[None, :] * rc).reshape(B * P))
         flat = cand.reshape(B * P)
@@ -307,8 +311,9 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
         # indexed take (not the float one-hot matmul) keeps it in u32.
         newq = jnp.take(qwin, parent, axis=0)     # [out, P, F, Wn]
         cstack = jnp.stack(contribs)              # [F, Wn]
-        newq = newq + (part_oh.astype(jnp.uint32)[:, :, None, None]
-                       * cstack[None, None])
+        newq = newq + jnp.where(
+            (part_oh != 0)[:, :, None, None], cstack[None, None],
+            jnp.zeros((), jnp.uint32))
         qbase = qstate if out_slots == B else qstate[:out_slots]
         if window < S:
             newq = jnp.where(valid, newq,
@@ -460,10 +465,16 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
 
     if dedup:
         h_list = []
-        histu = hist.astype(jnp.uint32)
+        # zs is stored [S+1, R] so the per-step suffix-column slice is a
+        # contiguous row; hist is exactly 0/1, so the u32 contraction is
+        # a SELECT + reduce, not an integer multiply (32-bit int muls
+        # decompose on the VPU).
+        hmask = hist != 0
+        zero = jnp.zeros((), jnp.uint32)
         for z, gp in zip(zs, gs):
-            zt = jax.lax.dynamic_slice(z, (0, start_t), (R, 1))[:, 0]
-            ph = (histu * zt[None, None, :]).sum(axis=-1)    # [B, P] u32
+            zt = jax.lax.dynamic_slice(z, (start_t, 0), (1, R))[0]
+            ph = jnp.where(hmask, zt[None, None, :], zero).sum(
+                axis=-1, dtype=jnp.uint32)                   # [B, P]
             rc = zt[t]  # the read's own full contribution
             h_list.append(((ph * gp[None, :]).sum(axis=-1)[:, None]
                            + gp[None, :] * rc).reshape(B * P))
@@ -500,15 +511,20 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
 
 
 def _suffix_hash(weights, oh_all, h):
-    """zint[r, s] = sum_{s' >= s} m[r, s'] * H[allele_{r,s'}, s'] in
+    """zint[s, r] = sum_{s' >= s} m[r, s'] * H[allele_{r,s'}, s'] in
     wrapping uint32 (m = w * 2^26, see _hash_consts), padded with a zero
-    column at s = S (fully truncated reads hash to exactly 0)."""
-    hsel = (oh_all.astype(jnp.uint32) * h[None]).sum(axis=1)  # [R, S]
+    row at s = S (fully truncated reads hash to exactly 0). Stored
+    [S+1, R] so the per-step slice at a read's start column is
+    contiguous."""
+    hsel = jnp.where(oh_all != 0, h[None],
+                     jnp.zeros((), jnp.uint32)).sum(
+        axis=1, dtype=jnp.uint32)                             # [R, S]
     contrib = _int_weights(weights) * hsel
     z = jnp.cumsum(contrib[:, ::-1], axis=1,
                    dtype=jnp.uint32)[:, ::-1]
-    return jnp.concatenate(
+    z = jnp.concatenate(
         [z, jnp.zeros((z.shape[0], 1), dtype=z.dtype)], axis=1)
+    return z.T
 
 
 def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
