@@ -139,14 +139,10 @@ def run_multihost(options: Options, num_processes: int, process_id: int,
     all_contigs = bamlib.get_contigs_to_phase(options.bam_file)
     weights = None
     if num_processes > 1:
-        # Work-aware sharding: per-contig SNP count (the VCF scan is a
-        # small fraction of one contig's phasing cost; block count and
+        # Work-aware sharding: per-contig SNP count (block count and
         # read count both scale with it). Every rank derives the same
         # weights from the same VCF, so the assignment is consistent.
-        from ..ingest.vcf import read_vcf
-
-        profile = read_vcf(options.vcf_file, all_contigs)
-        weights = [profile.get(c).num_snps if c in profile else 0
+        weights = [_contig_snp_counts(options.vcf_file).get(c, 0)
                    for c in all_contigs]
     mine = contigs_for_process(all_contigs, process_id, num_processes,
                                weights)
@@ -168,6 +164,47 @@ def run_multihost(options: Options, num_processes: int, process_id: int,
     _barrier(num_processes)
     if process_id == 0 and num_processes > 1:
         _merge_ploidy_tsvs(options, all_contigs)
+
+
+def _contig_snp_counts(vcf_file: str) -> dict:
+    """{contig: SNP count} for the whole VCF, cached persistently
+    (mtime/size-validated sidecar under the machine-local cache dir):
+    the full-VCF scan this replaces cost ~0.7 s per rank per pass on
+    the 500-contig scaling config — a fixed cost that erodes steady
+    multi-process efficiency."""
+    import hashlib
+    import json
+
+    st = os.stat(vcf_file)
+    cache_dir = os.environ.get(
+        "FLORIA_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "floria_tpu_xla"))
+    key = hashlib.sha1(os.path.abspath(vcf_file).encode()).hexdigest(
+    )[:16]
+    path = os.path.join(cache_dir, f"vcfsnps_{key}.json")
+    try:
+        with open(path) as fh:
+            sc = json.load(fh)
+        if (sc["mtime_ns"] == st.st_mtime_ns
+                and sc["size"] == st.st_size):
+            return sc["num_snps"]
+    except (OSError, ValueError, KeyError):
+        pass
+    from ..ingest.vcf import read_vcf
+
+    profile = read_vcf(vcf_file)  # unrestricted: reusable for any BAM
+    counts = {c: cv.num_snps for c, cv in profile.contigs.items()}
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"mtime_ns": st.st_mtime_ns, "size": st.st_size,
+                       "num_snps": counts}, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return counts
 
 
 def _barrier(num_processes: int) -> None:
