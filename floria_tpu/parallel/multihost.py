@@ -21,6 +21,7 @@ deterministic shard assignment tests.
 from __future__ import annotations
 
 import glob
+import logging
 import os
 from typing import List, Optional
 
@@ -87,8 +88,13 @@ def _allow_rank_cache_writes() -> None:
             orig.__name__, orig.__defaults__, orig.__closure__)
         patched._floria_rank_writes = True  # type: ignore[attr-defined]
         _compiler._cache_write = patched
-    except Exception:  # pragma: no cover - cache remains rank-0-only
-        pass
+        logging.getLogger(__name__).debug(
+            "persistent-cache writes enabled for all ranks")
+    except Exception as e:  # pragma: no cover - cache remains rank-0-only
+        logging.getLogger(__name__).info(
+            "rank>0 persistent-cache writes unavailable (%s): rank>0 "
+            "processes will re-compile their shard's jit variants on "
+            "every restart", e)
 
 
 def contigs_for_process(contigs: List[str], process_id: int,

@@ -111,3 +111,67 @@ def test_partial_decode_matches_full(have_native, tmp_path, monkeypatch):
     np.testing.assert_array_equal(sb, sb2)
     np.testing.assert_array_equal(qb, qb2)
     np.testing.assert_array_equal(offs, offs2)
+
+
+def test_partial_decode_stale_sidecar(have_native, tmp_path, monkeypatch):
+    """A sidecar whose mtime/size no longer match the BAM must be
+    ignored (full decode + rewrite), never trusted."""
+    import os
+
+    from floria_tpu.ingest.fastingest import FastBam
+    from floria_tpu.sim.simulate import SimConfig, simulate_multi
+
+    monkeypatch.setenv("FLORIA_TPU_CACHE", str(tmp_path / "cache"))
+    cfgs = [SimConfig(contig_name=f"s{i}", contig_len=6_000,
+                      num_strains=2, num_snps=30,
+                      coverage_per_strain=3.0, read_length=1_200,
+                      read_length_sd=100.0, seed=950 + i)
+            for i in range(3)]
+    simulate_multi(cfgs, str(tmp_path / "a"))
+    path = str(tmp_path / "a" / "sim.bam")
+    FastBam(path)  # writes the sidecar
+    sp = FastBam._sidecar_path(path)
+    assert os.path.exists(sp)
+
+    # Regenerate the BAM with different content at the same path.
+    cfgs2 = [SimConfig(contig_name=f"s{i}", contig_len=6_000,
+                       num_strains=2, num_snps=30,
+                       coverage_per_strain=4.0, read_length=1_100,
+                       read_length_sd=100.0, seed=970 + i)
+             for i in range(3)]
+    simulate_multi(cfgs2, str(tmp_path / "b"))
+    os.replace(str(tmp_path / "b" / "sim.bam"), path)
+
+    full = FastBam(path)
+    part = FastBam(path, restrict={"s1"})
+    tid = full.references.index("s1")
+    sel = np.flatnonzero(full.tid == tid)
+    assert part.n_records == len(sel)
+    np.testing.assert_array_equal(part.rec_off, full.rec_off[sel])
+
+
+def test_contig_snp_counts_cache(tmp_path, monkeypatch, small_sim):
+    """VCF SNP-count sidecar: cached result == fresh scan; stale
+    entries are rebuilt."""
+    import json
+    import os
+
+    from floria_tpu.parallel.multihost import _contig_snp_counts
+
+    cfg, _truth, out = small_sim
+    monkeypatch.setenv("FLORIA_TPU_CACHE", str(tmp_path / "cache"))
+    vcf = os.path.join(out, "sim.vcf")
+    fresh = _contig_snp_counts(vcf)
+    assert fresh[cfg.contig_name] > 0
+    again = _contig_snp_counts(vcf)  # served from the sidecar
+    assert again == fresh
+    # Poison the sidecar; a stale (mtime-mismatched) entry must not
+    # be served.
+    caches = list((tmp_path / "cache").glob("vcfsnps_*.json"))
+    assert len(caches) == 1
+    data = json.loads(caches[0].read_text())
+    data["num_snps"] = {cfg.contig_name: 1}
+    data["mtime_ns"] = 0
+    caches[0].write_text(json.dumps(data))
+    rebuilt = _contig_snp_counts(vcf)
+    assert rebuilt == fresh
