@@ -231,9 +231,18 @@ def main():
     # S~1536-2048 (reads' tails extend past block ends), where per-step
     # cost is several times the S=256 config's — report both so the
     # headline reflects what the pipeline actually pays (VERDICT r2 #4).
-    real_rps = None
+    real_rps = real_base = None
     if not quick:
-        real_rps = measure_kernel(make_workload(8, 320, 2048), quick)
+        real_args = make_workload(8, 320, 2048)
+        real_rps = measure_kernel(real_args, quick)
+        from floria_tpu import native
+        if native.get_lib() is not None:
+            a1, w1 = real_args[0][:1], real_args[1][:1]
+            t0 = time.time()
+            n = native.baseline_sweep(a1, w1, [2, 3, 4, 5], 10,
+                                      float(real_args[3][0]),
+                                      faithful=True)
+            real_base = n / (time.time() - t0)
     base_faithful, base_dense = measure_cpu_baseline(args, quick)
     denom = base_faithful or FALLBACK_BASELINE_READS_PER_SEC
 
@@ -251,6 +260,11 @@ def main():
     if real_rps is not None:
         result["kernel_realshape_reads_per_sec"] = round(real_rps, 1)
         result["kernel_realshape_config"] = "G=8 R=320 S=2048"
+        if real_base:
+            result["kernel_realshape_vs_baseline"] = round(
+                real_rps / real_base, 2)
+            result["baseline_realshape_reads_per_sec"] = round(
+                real_base, 1)
     if not skip_e2e:
         runs = measure_e2e(quick, repeat=not quick)
         e2e_rps, e2e_s, e2e_reads, e2e_stages = runs[0]
