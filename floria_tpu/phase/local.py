@@ -252,12 +252,17 @@ def adaptive_sweep(blocks, options: Options,
     for ploidy in range(1, max_p + 1):
         if not active:
             break
+        lvl_t = time.time()
         pending_cur = (pending_next if pending_next is not None else
                        _sweep_launch(active, options, cache, [ploidy]))
         pending_next = (_sweep_launch(active, options, cache,
                                       [ploidy + 1])
                         if speculate and ploidy < max_p else None)
+        launch_s = time.time() - lvl_t
         refined_p, stats_p = _sweep_pull(pending_cur)
+        _log.debug("sweep level %d: %d blocks, launch %.2fs, "
+                   "exec+pull %.2fs", ploidy, len(active), launch_s,
+                   time.time() - lvl_t - launch_s)
         next_active = []
         for key, bt in active:
             good, bad = stats_p[(key, ploidy)]
@@ -370,22 +375,30 @@ def _sweep_chain_fn(ploidy: int, beam_width: int, window: int,
     import jax
     import jax.numpy as jnp
 
-    from ..kernels.upem_batch import upem_optimize_device
+    from ..kernels.upem_batch import _eval_mec, upem_optimize_device
 
     @jax.jit
     def chain(dev_a, dev_q, idx, nreads, eps):
         alleles = jnp.take(dev_a, idx, axis=0)
+        if ploidy == 1:
+            # UPEM at one part is a no-op (a move needs a second part),
+            # so the level-1 chain reduces EXACTLY to the unit-weight
+            # MEC stats of the everything-in-part-0 partition — what
+            # upem_optimize_device returns there, minus its two full
+            # move-evaluation passes and the weight reconstruction
+            # (level 1 cost 2.0 s of the 3.4 s warm device time on the
+            # E. coli config before this).
+            assigns = jnp.zeros(alleles.shape[:2], jnp.int32)
+            return assigns, _eval_mec(alleles, assigns, eps, 1,
+                                      max_alleles)
         weights = beam_kernel.quals_to_weights(
             jnp.take(dev_q, idx, axis=0))
-        if ploidy == 1:
-            assigns = jnp.zeros(alleles.shape[:2], jnp.int32)
-        else:
-            nparts = jnp.full(alleles.shape[0], ploidy, jnp.int32)
-            result = beam_kernel.beam_search_batch_mixed(
-                alleles, weights, nreads, eps, nparts, ploidy,
-                beam_width, max_alleles=max_alleles, window=window)
-            assigns = beam_kernel.traceback_batch(
-                tuple(result)).astype(jnp.int32)
+        nparts = jnp.full(alleles.shape[0], ploidy, jnp.int32)
+        result = beam_kernel.beam_search_batch_mixed(
+            alleles, weights, nreads, eps, nparts, ploidy,
+            beam_width, max_alleles=max_alleles, window=window)
+        assigns = beam_kernel.traceback_batch(
+            tuple(result)).astype(jnp.int32)
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy,
             max_alleles=max_alleles)
