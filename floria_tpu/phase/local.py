@@ -105,7 +105,21 @@ def _sweep_decide(mec_vector: np.ndarray, expected_errors: np.ndarray,
 
 
 # Per-dispatch batch budget in read-site cells (see _sweep_launch).
+# Overridable for local-chip deployments: the MFU study (scripts/mfu.py,
+# VALIDATION.md) measured G=8 ~24% faster per read than G=32 at the real
+# S=2048 block shape, but on the remote-TPU tunnel each extra dispatch
+# costs ~0.1 s of pull latency, so the default stays large. With the chip
+# attached locally, FLORIA_SWEEP_CAP_CELLS=5242880 (= 8*320*2048) turns
+# that into free throughput; chunking is output-invariant
+# (test_dispatch_cap_chunking_is_output_invariant).
 _SWEEP_CAP_CELLS = 1 << 26
+
+
+def _sweep_cap_cells() -> int:
+    import os
+
+    v = os.environ.get("FLORIA_SWEEP_CAP_CELLS")
+    return int(v) if v else _SWEEP_CAP_CELLS
 
 
 # --- shape bucketing -------------------------------------------------------
@@ -439,7 +453,7 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     # — the largest measured-good shape) keeps temps a few GB; chunks
     # are per-instance independent, so splitting is output-invariant
     # (pinned by test_dispatch_cap_chunking_is_output_invariant).
-    cap_cells = _SWEEP_CAP_CELLS
+    cap_cells = _sweep_cap_cells()
     items = []
     for ploidy in ploidies:
         for key, members in groups.items():

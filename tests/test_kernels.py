@@ -273,3 +273,14 @@ def test_dispatch_cap_chunking_is_output_invariant(monkeypatch):
     for k in ref_refined:
         np.testing.assert_array_equal(ref_refined[k], chunk_refined[k])
         assert ref_stats[k] == chunk_stats[k]
+
+
+def test_sweep_cap_env_override(monkeypatch):
+    """FLORIA_SWEEP_CAP_CELLS overrides the dispatch batch budget
+    (local-chip tuning knob, see _sweep_cap_cells)."""
+    from floria_tpu.phase import local as L
+
+    monkeypatch.delenv("FLORIA_SWEEP_CAP_CELLS", raising=False)
+    assert L._sweep_cap_cells() == L._SWEEP_CAP_CELLS
+    monkeypatch.setenv("FLORIA_SWEEP_CAP_CELLS", "5242880")
+    assert L._sweep_cap_cells() == 5242880
