@@ -1,6 +1,6 @@
 """floria_tpu — TPU-native metagenomic strain haplotype phasing.
 
-A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+A from-scratch JAX/XLA framework with the capabilities of the
 reference tool floria (strain-level haplotype phasing of metagenomes from
 BAM + VCF + FASTA): read fragments become dense read×SNP allele tensors,
 local phasing runs as batched beam-search/UPEM device kernels, and the

@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--num-devices", type=int, default=None,
                      help="Devices to shard block batches over "
                           "(default: all local devices).")
+    tpu.add_argument("--sweep-cap", default="auto", metavar="{auto,N}",
+                     help="Read-site cells per phasing dispatch: 'auto' "
+                          "probes the device link once (small batches "
+                          "on a local chip, large on a high-latency "
+                          "link); or an integer. Output-invariant. "
+                          "(default: auto)")
     tpu.add_argument("--resume", action="store_true",
                      help="Skip contigs whose outputs already exist "
                           "(per-contig checkpointing).")
@@ -165,6 +171,7 @@ def options_from_args(args: argparse.Namespace) -> Options:
         overwrite=args.overwrite, num_threads=args.threads,
         list_to_phase=list(args.list_to_phase),
         contig_batch=args.contig_batch, num_devices=args.num_devices,
+        sweep_cap=args.sweep_cap,
         resume=args.resume, keep_going=args.keep_going)
 
 

@@ -11,6 +11,8 @@ import ctypes
 import logging
 import os
 import subprocess
+
+from . import threads
 from typing import Optional
 
 import numpy as np
@@ -241,7 +243,7 @@ def bgzf_inflate_ranges(data, ranges, total_hint=None):
             buf, len(data), np.ascontiguousarray(in_off[sel]),
             np.ascontiguousarray(starts[sel]),
             np.ascontiguousarray(out_size[sel]), len(sel),
-            out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1)
+            out.ctypes.data_as(ctypes.c_void_p), threads.num_threads())
         if rc != 0:
             return None
     return out
@@ -270,7 +272,7 @@ def bgzf_inflate(data: bytes, as_array: bool = False):
         rc = lib.floria_bgzf_inflate_blocks(
             data, len(data), in_off[:n].copy(), out_off[:-1].copy(),
             out_size[:n].copy(), n,
-            out.ctypes.data_as(ctypes.c_void_p), os.cpu_count() or 1)
+            out.ctypes.data_as(ctypes.c_void_p), threads.num_threads())
         if rc == 0:
             # The numpy buffer is the decode target itself: no
             # whole-file bytes copy on return (as_array) and the
@@ -393,7 +395,7 @@ def nw_batch(q: np.ndarray, si: np.ndarray, nal: np.ndarray,
         np.ascontiguousarray(q), np.ascontiguousarray(si, np.int32),
         np.ascontiguousarray(nal, np.int32),
         np.ascontiguousarray(ref_tab), np.ascontiguousarray(al_tab),
-        n, al_tab.shape[1], w2, out, os.cpu_count() or 1)
+        n, al_tab.shape[1], w2, out, threads.num_threads())
     return out
 
 
@@ -414,7 +416,7 @@ def realign_exact(q: np.ndarray, si: np.ndarray, nal: np.ndarray,
         np.ascontiguousarray(q), np.ascontiguousarray(si, np.int32),
         np.ascontiguousarray(nal, np.int32),
         np.ascontiguousarray(var_tab), n, A, w2, out,
-        os.cpu_count() or 1)
+        threads.num_threads())
     return out
 
 
@@ -447,7 +449,7 @@ def realign_jobs(seq_buf: np.ndarray, rec: np.ndarray, qpos: np.ndarray,
         np.ascontiguousarray(genome_pos, np.int64), ref_len,
         np.ascontiguousarray(n_alleles, np.int32), flank, tab_base,
         kept, packed.reshape(-1), si, nal, snp_kept, rec_counts,
-        os.cpu_count() or 1)
+        threads.num_threads())
     return (kept.view(bool), packed[:nk], si[:nk], nal[:nk],
             snp_kept[:nk], rec_counts)
 
@@ -465,7 +467,7 @@ def pack_windows(seq_buf: np.ndarray, qpos: np.ndarray,
     out = np.empty((n, flank), np.uint8)
     lib.floria_pack_windows(np.ascontiguousarray(seq_buf, dtype=np.uint8),
                             qpos, n, flank, out.reshape(-1),
-                            os.cpu_count() or 1)
+                            threads.num_threads())
     return out
 
 

@@ -65,9 +65,22 @@ class Options:
     # Summary-TSV filename inside out_dir; multihost points each process
     # at its own file so concurrent appends never share a file.
     ploidy_tsv: str = "contig_ploidy_info.tsv"
+    # Per-dispatch batch budget in read-site cells for the ploidy sweep
+    # ("auto" probes the device link once: small cap on a local chip,
+    # large on a high-latency link; or an explicit integer). Env
+    # FLORIA_SWEEP_CAP_CELLS overrides both. Output-invariant either way
+    # (phase/local.py:_sweep_launch).
+    sweep_cap: str = "auto"
 
     def validate(self) -> None:
         if not (1 <= self.ploidy_sensitivity <= 3):
             raise ValueError("ploidy sensitivity must be between 1 and 3")
         if self.max_ploidy < 1:
             raise ValueError("max ploidy must be >= 1")
+        if self.sweep_cap != "auto":
+            try:
+                int(self.sweep_cap)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    "--sweep-cap must be 'auto' or an integer cell "
+                    f"budget, got {self.sweep_cap!r}") from None

@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .. import constants, timing
+from .. import constants, threads, timing
 from ..kernels import beam as beam_kernel
 from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
@@ -105,21 +105,60 @@ def _sweep_decide(mec_vector: np.ndarray, expected_errors: np.ndarray,
 
 
 # Per-dispatch batch budget in read-site cells (see _sweep_launch).
-# Overridable for local-chip deployments: the MFU study (scripts/mfu.py,
-# VALIDATION.md) measured G=8 ~24% faster per read than G=32 at the real
-# S=2048 block shape, but on the remote-TPU tunnel each extra dispatch
-# costs ~0.1 s of pull latency, so the default stays large. With the chip
-# attached locally, FLORIA_SWEEP_CAP_CELLS=5242880 (= 8*320*2048) turns
-# that into free throughput; chunking is output-invariant
-# (test_dispatch_cap_chunking_is_output_invariant).
+# The MFU study (scripts/mfu.py, VALIDATION.md) measured G=8 ~24% faster
+# per read than G=32 at the real S=2048 block shape, but on the
+# remote-TPU tunnel each extra dispatch costs ~0.1 s of pull latency, so
+# the high-latency default stays large. Chunking is output-invariant
+# (test_dispatch_cap_chunking_is_output_invariant). `--sweep-cap auto`
+# (the default) probes the dispatch round-trip once and picks; env
+# FLORIA_SWEEP_CAP_CELLS > --sweep-cap N > auto probe.
 _SWEEP_CAP_CELLS = 1 << 26
+_SWEEP_CAP_CELLS_LOCAL = 8 * 320 * 2048  # near-G=8 at the real shape
+_probed_cap: Optional[int] = None
 
 
-def _sweep_cap_cells() -> int:
+def _probe_link_cap() -> int:
+    """Pick the dispatch cap from a measured device round trip: a local
+    backend answers a tiny pull in well under a millisecond, the remote
+    tunnel in ~0.1 s. Probed once per process (the answer is a property
+    of the link, not the workload)."""
+    global _probed_cap
+    if _probed_cap is None:
+        import jax
+        import jax.numpy as jnp
+
+        try:
+            x = jnp.arange(8, dtype=jnp.int32)
+            np.asarray(x + 1)  # compile + warm
+            t0 = time.time()
+            for _ in range(3):
+                np.asarray(x + 1)
+            rt = (time.time() - t0) / 3
+        except Exception:  # pragma: no cover - backend init failure
+            rt = 1.0
+        _probed_cap = (_SWEEP_CAP_CELLS_LOCAL if rt < 0.005
+                       else _SWEEP_CAP_CELLS)
+        logging.getLogger("floria_tpu").debug(
+            "sweep-cap auto: round trip %.4fs -> cap %d cells", rt,
+            _probed_cap)
+    return _probed_cap
+
+
+def _sweep_cap_cells(options: Optional[Options] = None) -> int:
     import os
 
     v = os.environ.get("FLORIA_SWEEP_CAP_CELLS")
-    return int(v) if v else _SWEEP_CAP_CELLS
+    if v and v.strip():
+        try:
+            return int(v)
+        except ValueError:
+            raise ValueError(
+                f"FLORIA_SWEEP_CAP_CELLS must be an integer "
+                f"(read-site cells per dispatch), got {v!r}") from None
+    cap = getattr(options, "sweep_cap", "auto") if options else "auto"
+    if cap != "auto":
+        return int(cap)
+    return _probe_link_cap()
 
 
 # --- shape bucketing -------------------------------------------------------
@@ -131,12 +170,18 @@ def _parallel_launch(fn, items: list) -> list:
     executable-deserialize (~1s each against the remote backend); a pool
     overlaps those while on-chip execution serializes regardless. Falls
     back to the plain loop for a single group. jit dispatch is
-    thread-safe, results are per-group, so outputs are unchanged."""
-    if len(items) <= 1:
+    thread-safe, results are per-group, so outputs are unchanged.
+
+    Pool width follows the host worker budget (`-t`, threads.py) capped
+    at 4 — wider pools measured no gain on the remote link, but `-t 1`
+    must serialize (the reference's single-thread mode,
+    parse_cmd_line.rs:153-156)."""
+    workers = min(4, threads.num_threads(), len(items))
+    if len(items) <= 1 or workers <= 1:
         return [fn(it) for it in items]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(4, len(items))) as pool:
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         return list(pool.map(fn, items))
 
 
@@ -453,7 +498,7 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     # — the largest measured-good shape) keeps temps a few GB; chunks
     # are per-instance independent, so splitting is output-invariant
     # (pinned by test_dispatch_cap_chunking_is_output_invariant).
-    cap_cells = _sweep_cap_cells()
+    cap_cells = _sweep_cap_cells(options)
     items = []
     for ploidy in ploidies:
         for key, members in groups.items():

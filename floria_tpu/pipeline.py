@@ -23,7 +23,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from . import fragops, timing
+from . import fragops, threads, timing
 from .frag import Frag, sort_and_renumber
 from .graph.edges import update_hap_graph
 from .graph.flow import solve_lp_graph
@@ -86,6 +86,10 @@ def _warm_imports() -> None:
 
 def run(options: Options) -> None:
     options.validate()
+    # One global host worker budget, like the reference's rayon pool
+    # (parse_cmd_line.rs:153-156): native loops and launch/pull pools
+    # all size from it.
+    threads.set_num_threads(options.num_threads)
     timing.reset()
     _warm_imports()
     t0 = time.time()

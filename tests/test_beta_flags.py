@@ -76,7 +76,10 @@ def test_hybrid_outputs_and_purity(hybrid_run):
         purities.append(top / len(strains))
         sizes.append(len(strains))
     assert purities
-    assert np.average(purities, weights=sizes) > 0.9, purities
+    weighted_purity = np.average(purities, weights=sizes)
+    print(f"hybrid haploset weighted purity: {weighted_purity:.4f}")
+    # Measured 1.0000 (floor = measured - 5%, VERDICT r3 #4).
+    assert weighted_purity >= 0.95, purities
 
 
 def test_hybrid_reassigns_short_reads(hybrid_run):
@@ -144,4 +147,7 @@ def test_qual_scores_end_to_end(tmp_path):
         purities.append(max(np.bincount(strains)) / len(strains))
         sizes.append(len(strains))
     assert purities
-    assert np.average(purities, weights=sizes) > 0.9, purities
+    weighted_purity = np.average(purities, weights=sizes)
+    print(f"qual-scores haploset weighted purity: {weighted_purity:.4f}")
+    # Measured 1.0000 (floor = measured - 5%, VERDICT r3 #4).
+    assert weighted_purity >= 0.95, purities

@@ -252,35 +252,56 @@ def test_dispatch_cap_chunking_is_output_invariant(monkeypatch):
     independent of batch composition."""
     from floria_tpu.phase import local as L
 
-    def run_all():
+    # The env override takes precedence over everything; clear it so
+    # the small-cap run below actually chunks.
+    monkeypatch.delenv("FLORIA_SWEEP_CAP_CELLS", raising=False)
+
+    def run_all(sweep_cap="auto"):
         blocks = []
         for j in range(7):
             rng = np.random.default_rng(50 + j)
             frags = _random_frags(rng, 24, 48, 2)
             bt = pack_block(frags, (1, 48))
             blocks.append(((0, j), bt))
-        opts = Options(epsilon=0.02, max_ploidy=3)
+        opts = Options(epsilon=0.02, max_ploidy=3,
+                       sweep_cap=sweep_cap)
         cache = L.BlockDeviceCache(blocks)
         pending = L._sweep_launch(blocks, opts, cache, [2])
         return L._sweep_pull(pending)
 
     ref_refined, ref_stats = run_all()
-    # Shrink the budget so each 7-block group splits into >=3 chunks.
-    monkeypatch.setattr("floria_tpu.phase.local._SWEEP_CAP_CELLS",
-                        2 * 64 * 64)
-    chunk_refined, chunk_stats = run_all()
+    # Shrink the budget (via the --sweep-cap path) so each 7-block
+    # group splits into >=3 chunks.
+    chunk_refined, chunk_stats = run_all(sweep_cap=str(2 * 64 * 64))
     assert set(ref_refined) == set(chunk_refined)
     for k in ref_refined:
         np.testing.assert_array_equal(ref_refined[k], chunk_refined[k])
         assert ref_stats[k] == chunk_stats[k]
 
 
-def test_sweep_cap_env_override(monkeypatch):
-    """FLORIA_SWEEP_CAP_CELLS overrides the dispatch batch budget
-    (local-chip tuning knob, see _sweep_cap_cells)."""
+def test_sweep_cap_precedence(monkeypatch):
+    """Dispatch budget precedence: FLORIA_SWEEP_CAP_CELLS env >
+    --sweep-cap N > auto link probe (_sweep_cap_cells)."""
     from floria_tpu.phase import local as L
 
     monkeypatch.delenv("FLORIA_SWEEP_CAP_CELLS", raising=False)
-    assert L._sweep_cap_cells() == L._SWEEP_CAP_CELLS
+    monkeypatch.setattr(L, "_probed_cap", 12345)
+    assert L._sweep_cap_cells() == 12345  # auto -> probe
+    assert L._sweep_cap_cells(Options(sweep_cap="777")) == 777
     monkeypatch.setenv("FLORIA_SWEEP_CAP_CELLS", "5242880")
-    assert L._sweep_cap_cells() == 5242880
+    assert L._sweep_cap_cells(Options(sweep_cap="777")) == 5242880
+    monkeypatch.setenv("FLORIA_SWEEP_CAP_CELLS", "not-a-number")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="FLORIA_SWEEP_CAP_CELLS"):
+        L._sweep_cap_cells()
+
+
+def test_sweep_cap_auto_probe(monkeypatch):
+    """The auto probe returns one of the two tuned caps and caches its
+    answer (one probe per process)."""
+    from floria_tpu.phase import local as L
+
+    monkeypatch.setattr(L, "_probed_cap", None)
+    cap = L._probe_link_cap()
+    assert cap in (L._SWEEP_CAP_CELLS, L._SWEEP_CAP_CELLS_LOCAL)
+    assert L._probe_link_cap() is L._probed_cap

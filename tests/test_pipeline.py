@@ -104,7 +104,9 @@ def test_vartig_format_and_accuracy(e2e):
         accuracies.append(best_acc)
         spans.append(right - left + 1)
     weighted = np.average(accuracies, weights=spans)
-    assert weighted > 0.95, (accuracies, spans)
+    print(f"vartig weighted accuracy: {weighted:.4f}")
+    # Measured 1.0000 (floor = measured - 5%, VERDICT r3 #4).
+    assert weighted >= 0.95, (accuracies, spans)
 
 
 def test_haploset_strain_purity(e2e):
@@ -124,7 +126,13 @@ def test_haploset_strain_purity(e2e):
         purities.append(top / len(strains))
         sizes.append(len(strains))
     assert purities
-    assert np.average(purities, weights=sizes) > 0.9, purities
+    weighted_purity = np.average(purities, weights=sizes)
+    print(f"haploset weighted purity: {weighted_purity:.4f} over "
+          f"{len(purities)} haplosets")
+    # Measured 1.0000 over 2 haplosets (floor = measured - 5%).
+    assert weighted_purity >= 0.95, purities
+    assert len(purities) <= 2 * cfg.num_strains, (
+        "strain-splitting regression: too many substantial haplosets")
 
 
 def test_three_strain_recovery(tmp_path):

@@ -112,4 +112,9 @@ def test_reference_shaped_klebsiella(tmp_path):
     purity = pure / total
     print(f"reference-shaped purity: {purity:.3f} over {total} reads "
           f"in {len(groups)} haplosets")
-    assert purity > 0.6
+    # Measured 1.000 over 464 reads in 3 haplosets (VALIDATION.md);
+    # floor = measured - 5% so a catastrophic-quality regression fails
+    # loudly (VERDICT r3 #4), plus a haploset-count band so a
+    # strain-splitting (or total-merge) regression fails too.
+    assert purity >= 0.95
+    assert 3 <= len(groups) <= 6, len(groups)

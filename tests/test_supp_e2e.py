@@ -94,7 +94,9 @@ def test_supp_pipeline_purity(supp_sim, tmp_path):
             continue
         good += np.bincount(ks).max()
         total += len(ks)
-    assert total > 0 and good / total > 0.9
+    print(f"supp haploset purity: {good / total:.4f} over {total} reads")
+    # Measured 1.0000 over 200 reads (floor = measured - 5%).
+    assert total > 0 and good / total >= 0.95
 
 
 def test_supp_disabled_still_runs(supp_sim, tmp_path):
