@@ -17,6 +17,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 SNP_MAX = np.iinfo(np.uint32).max
+_I64_MAX = int(np.iinfo(np.int64).max)  # hoisted: np.iinfo is not free
 
 
 class Frag:
@@ -71,8 +72,8 @@ class Frag:
         # SNP position -> (pair index, position in read sequence)
         # (types_structs.rs:80).
         self._sp2sp: Optional[Dict[int, Tuple[int, int]]] = {}
-        self.first_pos_base = np.iinfo(np.int64).max
-        self.last_pos_base = np.iinfo(np.int64).max
+        self.first_pos_base = _I64_MAX
+        self.last_pos_base = _I64_MAX
         # Frozen arrays (built by freeze()).
         self.snps: Optional[np.ndarray] = None
         self.alleles: Optional[np.ndarray] = None

@@ -393,6 +393,21 @@ def passed_check_vec(flags: np.ndarray, mapq: np.ndarray,
     return ok
 
 
+def _batch_qnames(fb: FastBam, sel: np.ndarray) -> List[str]:
+    """All read names of the selected records in one ragged gather +
+    one decode (read names are ASCII by the SAM spec, so latin-1 is a
+    1:1 byte map), instead of a per-record slice + decode."""
+    starts = fb.rec_off[sel] + 32
+    lens = fb.l_read_name[sel].astype(np.int64) - 1  # drop NUL
+    tot = int(lens.sum())
+    cum = np.cumsum(lens)
+    idx = (np.arange(tot, dtype=np.int64)
+           + np.repeat(starts - (cum - lens), lens))
+    blob = fb._data[idx].tobytes().decode("latin-1")
+    bnd = [0] + cum.tolist()
+    return [blob[bnd[k]:bnd[k + 1]] for k in range(len(sel))]
+
+
 def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
                          options: Options, tid: int, realigner=None
                          ) -> Dict[str, List[Tuple[int, Frag]]]:
@@ -445,26 +460,37 @@ def extract_contig_frags(fb: FastBam, contig_vcf: ContigVcf,
 
     by_name: Dict[str, List[Tuple[int, Frag]]] = {}
     boundaries = np.flatnonzero(np.diff(out_rec, prepend=-1))
-    boundaries = np.append(boundaries, got)
-    site_ranges = {int(out_rec[boundaries[k]]):
-                   (int(boundaries[k]), int(boundaries[k + 1]))
-                   for k in range(len(boundaries) - 1)}
+    # Per-record site range as flat lists (-1 = no sites): the loop
+    # below runs once per alignment record, so per-element numpy
+    # indexing / int() casts would dominate it.
+    lo_arr = np.full(n_rec, -1, np.int64)
+    hi_arr = np.full(n_rec, -1, np.int64)
+    if len(boundaries):
+        recs_at = out_rec[boundaries]
+        lo_arr[recs_at] = boundaries
+        hi_arr[recs_at] = np.append(boundaries[1:], got)
+    lo_l = lo_arr.tolist()
+    hi_l = hi_arr.tolist()
+    flags_l = fb.flag[sel].tolist()
+    pos_l = fb.pos[sel].tolist()
+    end_l = rec_end.tolist()
+    qnames = _batch_qnames(fb, sel)
     seq_buf, qual_buf, pay_offs = fb.payloads_batch(sel)
+    offs_l = pay_offs.tolist()
+    paired_bits = bamlib.FLAG_FIRST_IN_PAIR | bamlib.FLAG_SECOND_IN_PAIR
     rec_targets = []  # (frag, slice into out_* arrays) per record
     for local_idx in range(n_rec):
-        gi = int(sel[local_idx])
-        flag = int(fb.flag[gi])
-        frag = Frag(fb.qname(gi), local_idx,
-                    bool(flag & (bamlib.FLAG_FIRST_IN_PAIR
-                                 | bamlib.FLAG_SECOND_IN_PAIR)))
-        frag.first_pos_base = int(fb.pos[gi])
-        lo_hi = site_ranges.get(local_idx)
-        frag.last_pos_base = int(rec_end[local_idx])
-        p0, p1 = int(pay_offs[local_idx]), int(pay_offs[local_idx + 1])
+        flag = flags_l[local_idx]
+        frag = Frag(qnames[local_idx], local_idx,
+                    (flag & paired_bits) != 0)
+        frag.first_pos_base = pos_l[local_idx]
+        frag.last_pos_base = end_l[local_idx]
+        p0, p1 = offs_l[local_idx], offs_l[local_idx + 1]
         frag.seq_string[0] = seq_buf[p0:p1].tobytes()
         frag.qual_string[0] = qual_buf[p0:p1].tobytes()
-        if lo_hi is not None:
-            lo, hi = lo_hi
+        lo = lo_l[local_idx]
+        if lo >= 0:
+            hi = hi_l[local_idx]
             # Array mode: site dicts are materialized lazily only for
             # the (rare) reads whose merge paths need them. Alleles /
             # quals / qpos stay VIEWS into the flat extraction buffers
