@@ -122,6 +122,56 @@ def measure_cpu_baseline(args, quick):
     return out[0], out[1]
 
 
+def _e2e_config(quick):
+    """(SimConfig, tag) of the e2e benchmark community."""
+    from floria_tpu.sim.simulate import SimConfig
+
+    if quick:
+        return SimConfig(contig_len=60_000, num_strains=2, num_snps=400,
+                         coverage_per_strain=8.0, read_length=6_000,
+                         read_length_sd=1_000.0, error_rate=0.02,
+                         seed=11), "quick2"
+    return SimConfig(contig_len=1_000_000, num_strains=2,
+                     num_snps=50_000, coverage_per_strain=50.0,
+                     read_length=9_000, read_length_sd=1_500.0,
+                     error_rate=0.02, seed=11), "ecoli2"
+
+
+def measure_baseline_e2e(quick, force=False):
+    """Single-core oracle-pipeline e2e denominator (VERDICT r3 #6: the
+    kernel ratio alone excludes ingest+join). The measurement is
+    expensive (minutes, pinned to one cpu), so it persists in
+    BASELINE_E2E.json (committed) and normal bench runs just read it;
+    re-measure with --measure-baseline-e2e."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cfg, tag = _e2e_config(quick)
+    path = os.path.join(repo, "BASELINE_E2E.json")
+    rec = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            rec = json.load(fh)
+    if not force:
+        return rec.get(tag)
+    from floria_tpu.sim.simulate import simulate
+
+    cache = os.path.join(repo, ".bench_cache", tag)
+    if not os.path.exists(os.path.join(cache, "sim.bam")):
+        simulate(cfg, cache)
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "scripts", "oracle_e2e_baseline.py"),
+         cache, cfg.contig_name],
+        env=env, capture_output=True, text=True, timeout=7200)
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    rec[tag] = data
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    return data
+
+
 def measure_e2e(quick, repeat=False):
     """Full-pipeline reads/s on the BASELINE.md E. coli config (small
     community under --quick). Returns (reads_per_sec, seconds, n_reads,
@@ -131,19 +181,9 @@ def measure_e2e(quick, repeat=False):
     while the first includes one-time trace + executable-deserialize."""
     from floria_tpu.options import Options
     from floria_tpu.pipeline import run
-    from floria_tpu.sim.simulate import SimConfig, simulate
+    from floria_tpu.sim.simulate import simulate
 
-    if quick:
-        cfg = SimConfig(contig_len=60_000, num_strains=2, num_snps=400,
-                        coverage_per_strain=8.0, read_length=6_000,
-                        read_length_sd=1_000.0, error_rate=0.02, seed=11)
-        tag = "quick2"
-    else:
-        cfg = SimConfig(contig_len=1_000_000, num_strains=2,
-                        num_snps=50_000, coverage_per_strain=50.0,
-                        read_length=9_000, read_length_sd=1_500.0,
-                        error_rate=0.02, seed=11)
-        tag = "ecoli2"
+    cfg, tag = _e2e_config(quick)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache", tag)
     if not os.path.exists(os.path.join(cache, "sim.bam")):
@@ -277,6 +317,14 @@ def main():
             result["e2e_warm_reads_per_sec"] = round(w_rps, 1)
             result["e2e_warm_seconds"] = round(w_s, 1)
             result["e2e_warm_stages"] = w_stages
+        base_e2e = measure_baseline_e2e(
+            quick, force="--measure-baseline-e2e" in sys.argv)
+        if base_e2e:
+            denom_e2e = base_e2e["baseline_e2e_reads_per_sec"]
+            best_rps = (result.get("e2e_warm_reads_per_sec")
+                        or result["e2e_reads_per_sec"])
+            result["e2e_vs_baseline"] = round(best_rps / denom_e2e, 2)
+            result["baseline_e2e_reads_per_sec"] = denom_e2e
         if not quick:  # quick-config stage times would poison the bests
             _check_stage_regressions(result)
     print(json.dumps(result))

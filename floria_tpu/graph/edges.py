@@ -81,21 +81,25 @@ def _link_blocks_vectorized(block1: List[HapNode],
     # per-node loop it replaces, so sums are bit-identical.
     counts2 = np.stack([n.counts for n in block2])   # [n2, S2, A]
     exist2 = np.stack([n.exist for n in block2])
-    # Per-SITE stats reduce once over [n2, S2, A] and are then gathered
-    # per read-site — identical values to reducing the gathered rows,
-    # at ~1/coverage of the reduction work.
-    has_any = exist2.sum(axis=-1) > 0                # [n2, S2]
-    maxc_all = counts2.max(axis=-1)                  # [n2, S2]
-    has_key = has_any[:, cols]                       # [n2, n]
-    at = counts2[:, cols, al]
-    at_exists = exist2[:, cols, al] > 0
-    maxc = maxc_all[:, cols]
-    dm = has_key & ~(at_exists & (at == maxc))
-    contrib = np.where(dm, w.astype(np.float64)[None, :], 0.0)
-    flat = (np.arange(n2, dtype=np.int64)[:, None] * F
-            + ridx[None, :]).ravel()
-    sums = np.bincount(flat, weights=contrib.ravel(),
-                       minlength=n2 * F).reshape(n2, F)
+    from .. import native
+    sums = native.link_diffs(counts2, exist2, cols, al, w, ridx, F)
+    if sums is None:
+        # Numpy fallback (the spec the native pass is bit-identical
+        # to). Per-SITE stats reduce once over [n2, S2, A] and are then
+        # gathered per read-site — identical values to reducing the
+        # gathered rows, at ~1/coverage of the reduction work.
+        has_any = exist2.sum(axis=-1) > 0            # [n2, S2]
+        maxc_all = counts2.max(axis=-1)              # [n2, S2]
+        has_key = has_any[:, cols]                   # [n2, n]
+        at = counts2[:, cols, al]
+        at_exists = exist2[:, cols, al] > 0
+        maxc = maxc_all[:, cols]
+        dm = has_key & ~(at_exists & (at == maxc))
+        contrib = np.where(dm, w.astype(np.float64)[None, :], 0.0)
+        flat = (np.arange(n2, dtype=np.int64)[:, None] * F
+                + ridx[None, :]).ravel()
+        sums = np.bincount(flat, weights=contrib.ravel(),
+                           minlength=n2 * F).reshape(n2, F)
     diffs = np.round(sums).astype(np.int64).T
     if n2 > 1:
         top2 = np.partition(diffs, 1, axis=1)[:, :2]

@@ -177,6 +177,27 @@ def _bind(lib) -> None:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_int32, ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
+    lib.floria_counts_fold.restype = None
+    lib.floria_counts_fold.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32]
+    lib.floria_link_diffs.restype = None
+    lib.floria_link_diffs.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")]
     lib.floria_baseline_sweep.restype = ctypes.c_int64
     lib.floria_baseline_sweep.argtypes = [
         np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
@@ -497,6 +518,48 @@ def baseline_sweep(alleles: np.ndarray, weights: np.ndarray,
     if want_assign:
         return out
     return int(n)
+
+
+def counts_fold(snps: np.ndarray, alleles: np.ndarray,
+                weights: np.ndarray, off: np.ndarray, fids: np.ndarray,
+                lo: int, counts: np.ndarray, add: bool) -> bool:
+    """Sequentially fold the given frags' sites into `counts`
+    ([span, A] f64 window starting at SNP `lo`), in frag-list order —
+    add=True accumulates, add=False subtracts with the reference's
+    nonzero-guard + zero clamp (utils_frags.rs:465-490). In-place; the
+    per-read Python walk in post/finalize.py stays the fallback/spec.
+    Returns False without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    fids = np.ascontiguousarray(fids, np.int64)
+    lib.floria_counts_fold(snps, alleles, weights, off, fids,
+                           len(fids), lo, counts.shape[1],
+                           counts.reshape(-1), 1 if add else 0)
+    return True
+
+
+def link_diffs(counts2: np.ndarray, exist2: np.ndarray,
+               cols: np.ndarray, al: np.ndarray, w: np.ndarray,
+               ridx: np.ndarray, F: int) -> Optional[np.ndarray]:
+    """[n2, F] f64 per-(next-block node, read) diff-weight sums for the
+    hap-graph join — fused equivalent of the numpy mask+bincount pass
+    in graph/edges.py (the bit-identical fallback/spec). None without
+    the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n2, S2, A = counts2.shape
+    n = len(cols)
+    sums = np.zeros((n2, F), np.float64)
+    lib.floria_link_diffs(
+        np.ascontiguousarray(counts2), np.ascontiguousarray(exist2),
+        n2, S2, A, np.ascontiguousarray(cols, np.int64),
+        np.ascontiguousarray(al, np.int8),
+        np.ascontiguousarray(w, np.float32),
+        np.ascontiguousarray(ridx, np.int32), n, F,
+        sums.reshape(-1))
+    return sums
 
 
 def solve_flow(ae: np.ndarray,

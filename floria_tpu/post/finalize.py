@@ -33,6 +33,7 @@ class _PartState:
     def __init__(self, frags: Sequence[Frag], parts: List[Set[int]],
                  csr=None):
         self.frags = frags
+        self.csr = csr
         self.counts: List[np.ndarray] = []
         self.lo: List[int] = []
         for ids in parts:
@@ -99,6 +100,37 @@ class _PartState:
         # (no colliding indices) and ~20x cheaper than np.add.at.
         self.counts[part][f.snps - self.lo[part], f.alleles] += f.weights
 
+    def _fold_many(self, fids, part: int, add: bool) -> None:
+        """Batched remove/add of many reads into one part, in list
+        order — identical arithmetic sequence to the per-read calls
+        (the native fold walks reads then sites exactly as remove/add
+        do). Falls back to the per-read path without CSR/native."""
+        if not fids:
+            return
+        from .. import native
+
+        if self.csr is not None:
+            # Order-preserving id array (fids_array would sort, changing
+            # the sequential fold order).
+            arr = np.fromiter(fids, dtype=np.int64, count=len(fids))
+            lo, hi = self.csr.span(arr)
+            if lo is not None:
+                self._ensure(part, lo, hi)
+                if native.counts_fold(
+                        self.csr.snps, self.csr.alleles,
+                        self.csr.weights, self.csr.off, arr,
+                        self.lo[part], self.counts[part], add):
+                    return
+        op = self.add if add else self.remove
+        for fid in fids:
+            op(fid, part)
+
+    def remove_many(self, fids, part: int) -> None:
+        self._fold_many(fids, part, add=False)
+
+    def add_many(self, fids, part: int) -> None:
+        self._fold_many(fids, part, add=True)
+
     def distance(self, fid: int, part: int,
                  epsilon: float) -> Tuple[float, float]:
         """(same, diff) with the epsilon-empty rules
@@ -135,10 +167,31 @@ def process_reads_for_final_parts(
         for fid in ids:
             read_to_parts.setdefault(fid, []).append(i)
 
+    # Remove EVERY read from every part it appears in (the reference
+    # does the same before re-assigning, part_block_manip.rs:195-200).
+    # Batched per part: removals of different parts touch different
+    # count windows, so per-part batches in encounter order replay the
+    # exact interleaved per-read sequence.
+    removals: Dict[int, List[int]] = {}
     for fid, part_ids in read_to_parts.items():
         for i in part_ids:
             parts[i].discard(fid)
-            state.remove(fid, i)
+            removals.setdefault(i, []).append(fid)
+    for i, fids in removals.items():
+        state.remove_many(fids, i)
+
+    # Re-add in ascending read id. Adds are batched per part and
+    # flushed lazily: a multi-candidate read's distance against part i
+    # only depends on part i's adds by smaller read ids, which the
+    # flush lands first; adds into other parts commute (disjoint count
+    # windows).
+    pending: Dict[int, List[int]] = {}
+
+    def _flush(i: int) -> None:
+        fids = pending.pop(i, None)
+        if fids:
+            state.add_many(fids, i)
+
     for fid in sorted(read_to_parts):
         part_ids = read_to_parts[fid]
         if len(part_ids) == 1:
@@ -150,13 +203,16 @@ def process_reads_for_final_parts(
             best = None
             best_key = None
             for i in sorted(part_ids):
+                _flush(i)
                 same, diff = state.distance(fid, i, options.epsilon)
                 key = (diff + 1.0, i, same)
                 if best_key is None or key < best_key:
                     best_key = key
                     best = i
         parts[best].add(fid)
-        state.add(fid, best)
+        pending.setdefault(best, []).append(fid)
+    for i in list(pending):
+        _flush(i)
 
     if constants.MERGE_SIMILAR_HAPLOGROUPS:
         merge_overlapping_haplogroups(parts, ranges, frags,
