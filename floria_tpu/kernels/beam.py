@@ -399,15 +399,21 @@ def _hash_consts(max_alleles, S, ploidy):
     (the all-zero test in dist_eps, utils_frags.rs:696-700); only its
     dedup could tell them apart.
     """
+    hs_np, gs_np = _hash_consts_np(max_alleles, S, ploidy)
+    return ([jnp.asarray(h) for h in hs_np],
+            [jnp.asarray(g) for g in gs_np])
+
+
+def _hash_consts_np(max_alleles, S, ploidy):
+    """Numpy twin of _hash_consts (same rng stream) for callers that
+    need host constants (the Pallas kernel builder)."""
     rng = np.random.default_rng(0xF10E1A)
-    hs = [jnp.asarray(rng.integers(0, 1 << 32, (max_alleles, S),
-                                   dtype=np.uint32))
+    hs = [rng.integers(0, 1 << 32, (max_alleles, S), dtype=np.uint32)
           for _ in range(_NUM_FINGERPRINTS)]
     # Odd per-part mixers: odd multipliers are bijections mod 2^32, so
     # a single-part difference can never be annihilated by its mixer.
-    gs = [jnp.asarray(rng.integers(0, 1 << 32, ploidy,
-                                   dtype=np.uint32) | np.uint32(1))
-          for _ in range(_NUM_FINGERPRINTS)]
+    gs = [rng.integers(0, 1 << 32, ploidy, dtype=np.uint32)
+          | np.uint32(1) for _ in range(_NUM_FINGERPRINTS)]
     return hs, gs
 
 

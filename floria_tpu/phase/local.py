@@ -503,8 +503,16 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     for ploidy in ploidies:
         for key, members in groups.items():
             g_cap = max(1, cap_cells // (key[0] * key[1]))
-            for lo in range(0, len(members), g_cap):
-                items.append((ploidy, key, members[lo:lo + g_cap]))
+            # Chunk at next-pow2 of the cap: full chunks then land
+            # EXACTLY on their pow2 batch pad (one shared jit variant,
+            # zero batch padding) instead of a ~60%-padded odd size per
+            # distinct G. Memory is unchanged — the guard always paid
+            # for the pow2-padded worst case. Chunk composition never
+            # affects per-instance results
+            # (test_dispatch_cap_chunking_is_output_invariant).
+            g_chunk = 1 << max(0, (g_cap - 1).bit_length())
+            for lo in range(0, len(members), g_chunk):
+                items.append((ploidy, key, members[lo:lo + g_chunk]))
 
     import jax
 
