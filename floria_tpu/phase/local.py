@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .. import constants, threads, timing
+from .. import aotcache, constants, threads, timing
 from ..kernels import beam as beam_kernel
 from ..kernels.blocktensor import BlockTensor, pack_block, round_up
 from ..options import Options
@@ -547,9 +547,18 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
             dev_a, dev_q = cache.dev[(r_pad, s_pad)]
             idx = jnp.asarray(np.array([cache.rows[j] for j in ids],
                                        np.int32))
-            best, mec = _sweep_chain_fn(
-                ploidy, options.max_number_solns, window, amax)(
-                    dev_a, dev_q, idx, nreads, eps)
+            # Dispatch through the machine-local AOT-export cache: a
+            # fresh process deserializes the traced program (~2 ms)
+            # instead of re-tracing it (~0.9 s/variant) — the dominant
+            # per-rank fixed cost of multi-process cold starts
+            # (aotcache.py; the reference's rayon pool has no analog
+            # cost, parse_cmd_line.rs:153-156).
+            static_key = (ploidy, options.max_number_solns, window,
+                          amax)
+            best, mec = aotcache.call(
+                "sweep_chain", static_key,
+                _sweep_chain_fn(*static_key),
+                (dev_a, dev_q, idx, nreads, eps))
             return members, ploidy, best, mec
         alleles, weights = cache.gather((r_pad, s_pad), ids)
         if ploidy == 1:
