@@ -102,6 +102,25 @@ def _blob_key(tag: str, static_key: Tuple, args) -> Tuple[str, Tuple]:
     return h.hexdigest()[:24], memo_key
 
 
+def _index_note(digest: str, memo_key: Tuple) -> None:
+    """Append one human-readable line per variant resolution to
+    aotexp_index.jsonl — the variant census behind cold-start cost
+    (every line is one trace-or-deserialize a fresh process pays)."""
+    try:
+        import json
+
+        os.makedirs(_cache_dir(), exist_ok=True)
+        with open(os.path.join(_cache_dir(), "aotexp_index.jsonl"),
+                  "a") as fh:
+            fh.write(json.dumps(
+                {"pid": os.getpid(), "digest": digest,
+                 "tag": memo_key[0], "static": list(memo_key[1]),
+                 "avals": [list(a[0]) + [a[1]] for a in memo_key[2]]})
+                + "\n")
+    except Exception:  # pragma: no cover - diagnostics only
+        pass
+
+
 def _build(tag: str, static_key: Tuple, fn: Callable, args) -> Callable:
     """Resolve one variant: blob hit -> jit(exported.call); miss ->
     export fn, write the blob, and still run through the exported call
@@ -110,8 +129,9 @@ def _build(tag: str, static_key: Tuple, fn: Callable, args) -> Callable:
     import jax
     from jax import export as jexport
 
-    digest, _ = _blob_key(tag, static_key, args)
+    digest, memo_key = _blob_key(tag, static_key, args)
     path = os.path.join(_cache_dir(), f"aotexp_{digest}.bin")
+    _index_note(digest, memo_key)
     exp = None
     if os.path.exists(path):
         try:

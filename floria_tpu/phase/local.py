@@ -194,6 +194,16 @@ def _bucket_reads(r: int) -> int:
     return round_up(r, 64)
 
 
+def _bucket_cache_rows(b: int) -> int:
+    """Pad the BlockDeviceCache batch dim: pow2 (floor 8) below 128,
+    then 128-multiples — resident-cache memory overhead stays <=2x
+    (<=+33% above 128) while contigs with nearby block counts share one
+    sweep-chain jit variant instead of minting one each."""
+    if b <= 128:
+        return max(8, 1 << (b - 1).bit_length())
+    return round_up(b, 128)
+
+
 def _bucket_sites(s: int) -> int:
     """Coarse site buckets: few compile variants beats tight padding —
     the padded compute is cheap, a fresh XLA variant is not."""
@@ -307,34 +317,52 @@ def adaptive_sweep(blocks, options: Options,
     # noise) while burning the discarded level's compute.
     import os as _os
     speculate = _os.environ.get("FLORIA_SWEEP_SPEC", "0") != "0"
+    # Levels 1 and 2 run as ONE fused wave ((1, 2) entry,
+    # _sweep_chain_fn fused12): level 1 is a near-free MEC evaluation
+    # and almost every block proceeds to 2, so the fuse removes a full
+    # launch+decide+pull round per contig. The decision replay below
+    # still walks level by level, so decisions and outputs are
+    # identical to the sequential schedule (the speculative path keeps
+    # the per-level schedule — its pending_next bookkeeping assumes
+    # one level per wave).
+    if max_p >= 2 and not speculate:
+        schedule = [(1, 2)] + list(range(3, max_p + 1))
+    else:
+        schedule = list(range(1, max_p + 1))
     pending_next = None
-    for ploidy in range(1, max_p + 1):
+    for entry in schedule:
         if not active:
             break
         lvl_t = time.time()
         pending_cur = (pending_next if pending_next is not None else
-                       _sweep_launch(active, options, cache, [ploidy]))
+                       _sweep_launch(active, options, cache, [entry]))
+        levels = entry if isinstance(entry, tuple) else (entry,)
         pending_next = (_sweep_launch(active, options, cache,
-                                      [ploidy + 1])
-                        if speculate and ploidy < max_p else None)
+                                      [levels[-1] + 1])
+                        if speculate and levels[-1] < max_p else None)
         launch_s = time.time() - lvl_t
         refined_p, stats_p = _sweep_pull(pending_cur)
-        _log.debug("sweep level %d: %d blocks, launch %.2fs, "
-                   "exec+pull %.2fs", ploidy, len(active), launch_s,
+        _log.debug("sweep level %s: %d blocks, launch %.2fs, "
+                   "exec+pull %.2fs", entry, len(active), launch_s,
                    time.time() - lvl_t - launch_s)
         next_active = []
         for key, bt in active:
-            good, bad = stats_p[(key, ploidy)]
-            mec_vec[key][ploidy - 1] = bad
-            exp_vec[key][ploidy - 1] = (good + bad) * options.epsilon
-            decided, best = _sweep_decide(mec_vec[key], exp_vec[key],
-                                          ploidy, options)
-            if decided:
-                a = (refined_p[(key, ploidy)] if best == ploidy
-                     else prev_assign[key])
-                chosen[key] = (best, a)
-            else:
+            undecided = True
+            for ploidy in levels:
+                good, bad = stats_p[(key, ploidy)]
+                mec_vec[key][ploidy - 1] = bad
+                exp_vec[key][ploidy - 1] = (good + bad) * options.epsilon
+                decided, best = _sweep_decide(mec_vec[key],
+                                              exp_vec[key],
+                                              ploidy, options)
+                if decided:
+                    a = (refined_p[(key, ploidy)] if best == ploidy
+                         else prev_assign[key])
+                    chosen[key] = (best, a)
+                    undecided = False
+                    break
                 prev_assign[key] = refined_p[(key, ploidy)]
+            if undecided:
                 next_active.append((key, bt))
         active = next_active
     _log.info("Beam search: %d blocks, adaptive chained sweep <= %d in "
@@ -386,7 +414,16 @@ class BlockDeviceCache:
         # the state traffic in the common case.
         self.amax: Dict[Tuple[int, int], int] = {}
         for (r_pad, s_pad), members in buckets.items():
-            B = len(members)
+            # Bucket the resident batch dim too: an unpadded B makes
+            # every contig's block count a brand-new jit variant of the
+            # whole sweep chain (the 500-contig scaling census measured
+            # 96 of 104 cold-start variants coming from distinct Bs —
+            # ~20 s of per-process trace/deserialize). Padded rows are
+            # unreachable (idx gathers only real rows, aotexp_index
+            # census in VALIDATION.md), so this is output-invariant;
+            # memory cost is bounded by pow2 below 128 / next multiple
+            # of 128 above.
+            B = _bucket_cache_rows(len(members))
             alleles = np.full((B, r_pad, s_pad), -1, dtype=np.int8)
             quals = np.zeros((B, r_pad, s_pad), dtype=np.uint8)
             for b, (j, bt) in enumerate(members):
@@ -422,7 +459,7 @@ class BlockDeviceCache:
 
 @functools.lru_cache(maxsize=None)
 def _sweep_chain_fn(ploidy: int, beam_width: int, window: int,
-                    max_alleles: int):
+                    max_alleles: int, fused12: bool = False):
     """ONE jitted program for a whole sweep level on one device:
     cache gather -> device weight reconstruction -> mixed beam ->
     on-device traceback -> device UPEM. Fusing the chain collapses the
@@ -430,11 +467,27 @@ def _sweep_chain_fn(ploidy: int, beam_width: int, window: int,
     one executable — a fresh process used to pay ~0.3-1 s of trace +
     AOT-deserialize PER variant (72 variants on a 125-contig shard =
     13-16 s of the 4-process scaling run's per-rank fixed cost; the
-    remote-TPU path pays the same tax per variant)."""
+    remote-TPU path pays the same tax per variant).
+
+    fused12 (requires ploidy == 2): ONE program computing sweep levels
+    1 AND 2 — level 1's unit-weight MEC stats ride along with level 2's
+    beam+UPEM in the same dispatch and pull. Nearly every block
+    proceeds past level 1 (a block stops there only when its MEC
+    already beats the expected-error floor, graph_processing.rs:240),
+    so fusing removes a whole launch+decide+pull round per contig
+    without wasting compute; blocks that DO stop at 1 discard the
+    level-2 result — a deviation from the reference's strictly
+    sequential early exit (graph_processing.rs:132) that trades
+    their level-2 compute for the level round trip, outputs
+    identical. Level 1's refined assignment is NOT returned: it is
+    all-zeros by construction (UPEM needs >=2 parts to move), so the
+    host synthesizes it without a download."""
     import jax
     import jax.numpy as jnp
 
     from ..kernels.upem_batch import _eval_mec, upem_optimize_device
+
+    assert not (fused12 and ploidy != 2)
 
     @jax.jit
     def chain(dev_a, dev_q, idx, nreads, eps):
@@ -461,6 +514,11 @@ def _sweep_chain_fn(ploidy: int, beam_width: int, window: int,
         best, mec, _diff = upem_optimize_device(
             alleles, weights, assigns, nreads, eps, ploidy,
             max_alleles=max_alleles)
+        if fused12:
+            mec1 = _eval_mec(alleles,
+                             jnp.zeros(alleles.shape[:2], jnp.int32),
+                             eps, 1, max_alleles)
+            return mec1, best, mec
         return best, mec
 
     return chain
@@ -499,6 +557,19 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     # are per-instance independent, so splitting is output-invariant
     # (pinned by test_dispatch_cap_chunking_is_output_invariant).
     cap_cells = _sweep_cap_cells(options)
+
+    import jax
+
+    n_dev = jax.local_device_count()
+    if options.num_devices is not None:
+        n_dev = min(n_dev, options.num_devices)
+
+    # A (1, 2) entry fuses sweep levels 1+2 into one dispatch
+    # (_sweep_chain_fn fused12) — single-device only; the sharded mesh
+    # path runs them as separate waves of its generic dispatch.
+    if n_dev > 1:
+        ploidies = [q for p in ploidies
+                    for q in (p if isinstance(p, tuple) else (p,))]
     items = []
     for ploidy in ploidies:
         for key, members in groups.items():
@@ -513,12 +584,6 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
             g_chunk = 1 << max(0, (g_cap - 1).bit_length())
             for lo in range(0, len(members), g_chunk):
                 items.append((ploidy, key, members[lo:lo + g_chunk]))
-
-    import jax
-
-    n_dev = jax.local_device_count()
-    if options.num_devices is not None:
-        n_dev = min(n_dev, options.num_devices)
 
     def _launch(item):
         ploidy, (r_pad, s_pad), members = item
@@ -553,6 +618,14 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
             # per-rank fixed cost of multi-process cold starts
             # (aotcache.py; the reference's rayon pool has no analog
             # cost, parse_cmd_line.rs:153-156).
+            if ploidy == (1, 2):
+                static_key = (2, options.max_number_solns, window,
+                              amax, True)
+                mec1, best2, mec2 = aotcache.call(
+                    "sweep_chain", static_key,
+                    _sweep_chain_fn(*static_key),
+                    (dev_a, dev_q, idx, nreads, eps))
+                return members, ploidy, best2, (mec1, mec2)
             static_key = (ploidy, options.max_number_solns, window,
                           amax)
             best, mec = aotcache.call(
@@ -587,26 +660,50 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
     # attribution, not a UPEM regression.)
     timing.add("phase.launch", time.time() - launch_t)
     for _m, _p, best, mec in pending:
-        for a in (best, mec):
+        for a in _result_arrays(best, mec):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
     return pending
+
+
+def _result_arrays(best, mec) -> list:
+    """Flatten one pending item's device results (fused waves carry a
+    (mec1, mec2) tuple) in a fixed order shared with _sweep_pull."""
+    arrs = list(best) if isinstance(best, tuple) else [best]
+    arrs += list(mec) if isinstance(mec, tuple) else [mec]
+    return arrs
 
 
 def _sweep_pull(pending: list) -> Tuple[
         Dict[Tuple[object, int], np.ndarray],
         Dict[Tuple[object, int], Tuple[float, float]]]:
     pull_t = time.time()
-    flat = [a for _m, _p, best, mec in pending for a in (best, mec)]
+    flat, spans = [], []
+    for _m, _p, best, mec in pending:
+        arrs = _result_arrays(best, mec)
+        spans.append(len(flat))
+        flat.extend(arrs)
     hosts = _parallel_launch(np.asarray, flat)
     # Chained beam+UPEM device execution AND the result download drain
     # in this wait (see _sweep_launch's attribution note).
     timing.add("phase.wait", time.time() - pull_t)
     refined: Dict[Tuple[object, int], np.ndarray] = {}
     stats: Dict[Tuple[object, int], Tuple[float, float]] = {}
-    for i, (members, ploidy, _b, _m) in enumerate(pending):
-        best = hosts[2 * i]
-        mec = hosts[2 * i + 1]
+    for (members, ploidy, _b, _m), off in zip(pending, spans):
+        if ploidy == (1, 2):
+            best2, mec1, mec2 = hosts[off], hosts[off + 1], hosts[
+                off + 2]
+            for g, (j, bt) in enumerate(members):
+                # Level 1's assignment is all-zeros by construction
+                # (see _sweep_chain_fn fused12) — synthesized, not
+                # downloaded.
+                refined[(j, 1)] = np.zeros(bt.num_reads, np.int32)
+                stats[(j, 1)] = (float(mec1[g, 0]), float(mec1[g, 1]))
+                refined[(j, 2)] = best2[g, :bt.num_reads]
+                stats[(j, 2)] = (float(mec2[g, 0]), float(mec2[g, 1]))
+            continue
+        best = hosts[off]
+        mec = hosts[off + 1]
         for g, (j, bt) in enumerate(members):
             refined[(j, ploidy)] = best[g, :bt.num_reads]
             stats[(j, ploidy)] = (float(mec[g, 0]), float(mec[g, 1]))

@@ -89,6 +89,8 @@ def worker_main(args) -> None:
     from floria_tpu.options import Options
     from floria_tpu.parallel.multihost import run_multihost
 
+    from floria_tpu import timing
+
     times = {}
     for label, out in (("cold_s", args.out + ".warmup"),
                        ("steady_s", args.out)):
@@ -102,6 +104,11 @@ def worker_main(args) -> None:
         run_multihost(options, args.nproc, args.pid,
                       coordinator=f"127.0.0.1:{args.port}")
         times[label] = round(time.time() - t0, 1)
+        # Stage attribution per pass (run() resets the accumulator at
+        # entry, so this snapshot is this pass's breakdown).
+        times[label + "_stages"] = {
+            k: round(v, 2) for k, v in sorted(
+                timing.STAGE_TIMES.items(), key=lambda kv: -kv[1])[:12]}
     if args.pid == 0:
         shutil.rmtree(args.out + ".warmup", ignore_errors=True)
     with open(os.path.join(args.out,

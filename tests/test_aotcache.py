@@ -59,7 +59,7 @@ def test_aot_chain_bit_equal_and_blob_roundtrip(aot_env):
             aotcache.call("sweep_chain", key, fn, args))
         _assert_tree_equal(ref, out, f"export path diverged p={ploidy}")
     blobs = sorted(f for f in os.listdir(aot_env)
-                   if f.startswith("aotexp_"))
+                   if f.startswith("aotexp_") and f.endswith(".bin"))
     assert len(blobs) == 3
     mtimes = {b: os.path.getmtime(os.path.join(aot_env, b))
               for b in blobs}
@@ -83,7 +83,7 @@ def test_aot_corrupt_blob_rebuilt(aot_env):
     fn = pl._sweep_chain_fn(*key)
     ref = jax.block_until_ready(fn(*args))
     jax.block_until_ready(aotcache.call("sweep_chain", key, fn, args))
-    blobs = [f for f in os.listdir(aot_env) if f.startswith("aotexp_")]
+    blobs = [f for f in os.listdir(aot_env) if f.startswith("aotexp_") and f.endswith(".bin")]
     assert len(blobs) == 1
     with open(os.path.join(aot_env, blobs[0]), "wb") as fh:
         fh.write(b"not a stablehlo module")
@@ -103,7 +103,7 @@ def test_aot_disabled_by_env(aot_env, monkeypatch):
     fn = pl._sweep_chain_fn(*key)
     jax.block_until_ready(aotcache.call("sweep_chain", key, fn, args))
     assert not os.path.exists(aot_env) or not [
-        f for f in os.listdir(aot_env) if f.startswith("aotexp_")]
+        f for f in os.listdir(aot_env) if f.startswith("aotexp_") and f.endswith(".bin")]
 
 
 def _run_cli(sim, out, env_extra, timeout=420):
@@ -152,4 +152,4 @@ def test_aot_cli_byte_identical(small_sim, tmp_path):
         _run_cli(sim, out, {"FLORIA_TPU_CPU_CACHE": "1",
                             "FLORIA_TPU_CACHE": cache})
         assert _collect(out) == ref, f"AOT {label} run diverged"
-    assert [f for f in os.listdir(cache) if f.startswith("aotexp_")]
+    assert [f for f in os.listdir(cache) if f.startswith("aotexp_") and f.endswith(".bin")]

@@ -279,6 +279,72 @@ def test_dispatch_cap_chunking_is_output_invariant(monkeypatch):
         assert ref_stats[k] == chunk_stats[k]
 
 
+def test_cache_row_padding_is_output_invariant():
+    """BlockDeviceCache pads its resident batch dim to buckets
+    (_bucket_cache_rows) so nearby block counts share one sweep-chain
+    jit variant; padded rows are never gathered, so per-block results
+    must not depend on how many OTHER blocks share the cache."""
+    from floria_tpu.phase import local as L
+
+    assert [L._bucket_cache_rows(b) for b in (1, 7, 8, 9, 128, 129,
+                                              300)] == [
+        8, 8, 8, 16, 128, 256, 384]
+
+    def run(n_blocks):
+        blocks = []
+        for j in range(n_blocks):
+            rng = np.random.default_rng(80 + j)
+            frags = _random_frags(rng, 24, 48, 2)
+            bt = pack_block(frags, (1, 48))
+            blocks.append(((0, j), bt))
+        opts = Options(epsilon=0.02, max_ploidy=3)
+        cache = L.BlockDeviceCache(blocks)
+        return L._sweep_pull(L._sweep_launch(blocks, opts, cache, [2]))
+
+    small_refined, small_stats = run(5)    # B_pad = 8
+    big_refined, big_stats = run(11)       # B_pad = 16
+    for k in small_refined:
+        np.testing.assert_array_equal(small_refined[k], big_refined[k])
+        assert small_stats[k] == big_stats[k]
+
+
+def test_fused_level12_matches_sequential_schedule(monkeypatch):
+    """adaptive_sweep's fused (1, 2) first wave must reproduce the
+    strictly sequential per-level schedule (the speculative path keeps
+    that legacy schedule, so FLORIA_SWEEP_SPEC=1 pins it) — including
+    blocks that stop AT level 1 (haploid: fused discards the level-2
+    result) and blocks sent back to level 1 by the stopping heuristic
+    at level 2."""
+    from floria_tpu.phase import local as L
+
+    def build():
+        blocks = []
+        for j in range(8):
+            rng = np.random.default_rng(130 + j)
+            # j % 4 == 0 -> error-free single-strain: MEC 0 beats the
+            # expected-error floor, so the sweep decides at ploidy 1.
+            if j % 4 == 0:
+                frags = _random_frags(rng, 28, 56, 1, eps=0.0)
+            else:
+                frags = _random_frags(rng, 28, 56, 2 + j % 3)
+            bt = pack_block(frags, (1, 56))
+            blocks.append(((0, j), bt))
+        return blocks
+
+    opts = Options(epsilon=0.02, max_ploidy=4)
+    monkeypatch.setenv("FLORIA_SWEEP_SPEC", "1")
+    c_seq, m_seq, e_seq = L.adaptive_sweep(build(), opts)
+    monkeypatch.setenv("FLORIA_SWEEP_SPEC", "0")
+    c_fused, m_fused, e_fused = L.adaptive_sweep(build(), opts)
+    assert set(c_seq) == set(c_fused)
+    assert 1 in {v[0] for v in c_seq.values()}  # haploid case exercised
+    for k in c_seq:
+        assert c_seq[k][0] == c_fused[k][0]
+        np.testing.assert_array_equal(c_seq[k][1], c_fused[k][1])
+        np.testing.assert_array_equal(m_seq[k], m_fused[k])
+        np.testing.assert_array_equal(e_seq[k], e_fused[k])
+
+
 def test_sweep_cap_precedence(monkeypatch):
     """Dispatch budget precedence: FLORIA_SWEEP_CAP_CELLS env >
     --sweep-cap N > auto link probe (_sweep_cap_cells)."""
