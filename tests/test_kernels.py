@@ -288,7 +288,7 @@ def test_cache_row_padding_is_output_invariant():
 
     assert [L._bucket_cache_rows(b) for b in (1, 7, 8, 9, 128, 129,
                                               300)] == [
-        8, 8, 8, 16, 128, 256, 384]
+        8, 8, 8, 16, 128, 192, 320]
 
     def run(n_blocks):
         blocks = []
