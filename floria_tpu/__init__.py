@@ -41,6 +41,21 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _enable_x64() -> None:
+    """Globally enable 64-bit JAX types: the beam/UPEM kernels carry
+    exact integer weight-quanta in f64 (kernels/beam.py _require_x64;
+    VALIDATION.md "Exact arithmetic"). Process-global because scoped
+    jax.enable_x64() contexts cannot cross an outer non-x64 jit trace
+    (e.g. a harness jitting entry() itself). All hot-path arrays pin
+    their dtypes explicitly, so nothing silently widens."""
+    try:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    except Exception:  # pragma: no cover - jax always present in prod
+        pass
+
+
 def _disable_thp() -> None:
     """Opt this process out of transparent huge pages.
 
@@ -85,6 +100,7 @@ def _keep_large_allocations() -> None:
 
 
 _enable_compilation_cache()
+_enable_x64()
 _disable_thp()
 _keep_large_allocations()
 

@@ -37,7 +37,9 @@ def _read_node_diff(frag: Frag, node: HapNode) -> int:
     # diff: covered-by-map sites where the read's allele neither is a
     # maximal existing entry nor exists at all at max weight
     diff_mask = has_key & ~(at_exists & (at == maxc))
-    return int(round(float(weights[diff_mask].sum())))
+    # f64 sum: exact on the 2^-26 weight grid, so the round() matches
+    # the reference's f64 arithmetic (see stats.py distance_matrix_eps).
+    return int(round(float(weights[diff_mask].astype(np.float64).sum())))
 
 
 def update_hap_graph(hap_graph: List[List[HapNode]],

@@ -53,6 +53,11 @@ from .. import constants
 from ..frag import phred_weight
 from .scores import binom_tail_jnp, log_sum_exp_jnp
 
+# int32 zero for dynamic_slice index tuples: literal 0 weak-types
+# to int64 under x64 and dynamic_slice requires uniform index dtypes.
+def _z():
+    return jnp.int32(0)
+
 # phred qual -> weight, computed host-side with the exact expression
 # frag.freeze uses, so device-reconstructed weights are bitwise equal to
 # host weights. Index 0 maps to 0.0, matching zeroed padding.
@@ -131,9 +136,19 @@ class BeamResult(NamedTuple):
     live: jax.Array           # [G, B_final]
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "beam_width",
-                                             "max_alleles", "window",
-                                             "dedup"))
+def _require_x64() -> None:
+    """The exact-arithmetic kernel stores f64 quanta; without
+    jax_enable_x64 JAX silently downcasts float64 to float32, which
+    would silently reintroduce the deep-coverage inexactness this
+    design eliminates (VALIDATION.md "Exact arithmetic"). Public
+    entries enter jax.enable_x64() themselves; this guard catches any
+    new call path that forgets to."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "beam kernel traced without x64: wrap the call in "
+            "jax.enable_x64() (see kernels/beam.py _require_x64)")
+
+
 def beam_search_batch(alleles: jax.Array, weights: jax.Array,
                       num_reads: jax.Array, epsilon: jax.Array,
                       ploidy: int, beam_width: int,
@@ -159,10 +174,25 @@ def beam_search_batch(alleles: jax.Array, weights: jax.Array,
                                    max_alleles, window, dedup)
 
 
+def beam_search_batch_mixed(alleles, weights, num_reads, epsilon,
+                            num_parts, max_ploidy: int,
+                            beam_width: int,
+                            max_alleles: int = constants.MAX_ALLELES,
+                            window: int = 0, dedup: bool = True,
+                            impl: str = "hist") -> BeamResult:
+    """x64-entering public wrapper; see _beam_search_batch_mixed_jit
+    for semantics. Safe to call from inside an already-x64 trace (the
+    fused sweep chain) — re-entering the context is a no-op."""
+    with jax.enable_x64():
+        return _beam_search_batch_mixed_jit(
+            alleles, weights, num_reads, epsilon, num_parts, max_ploidy,
+            beam_width, max_alleles, window, dedup, impl)
+
+
 @functools.partial(jax.jit, static_argnames=("max_ploidy", "beam_width",
                                              "max_alleles", "window",
                                              "dedup", "impl"))
-def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
+def _beam_search_batch_mixed_jit(alleles: jax.Array, weights: jax.Array,
                             num_reads: jax.Array, epsilon: jax.Array,
                             num_parts: jax.Array, max_ploidy: int,
                             beam_width: int,
@@ -192,8 +222,8 @@ def beam_search_batch_mixed(alleles: jax.Array, weights: jax.Array,
                           num_parts.astype(jnp.int32)))
 
 
-def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
-          num_reads, eps, width, ploidy, out_slots, window,
+def _step(counts, qstate, score, live, t, off_t, a_cov, wq_t, oh_t,
+          num_reads, eps64, epsq, width, ploidy, out_slots, window,
           part_active=None, start_t=None, hash_consts=None):
     """Insert read t into every live beam; keep the best `width` of the
     top `out_slots` candidates. counts: [B, P, A, S]; compute touches
@@ -214,28 +244,32 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
     over the part's reads — whose suffix sums reproduce the reference's
     exact truncated-map equality order-free (see _hash_consts)."""
     B, P, A, S = counts.shape
-    cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
-    div = jnp.float32(constants.DIV_FACTOR)
+    f64 = jnp.float64
+    cutoff = jnp.asarray(math.log(constants.PROB_CUTOFF), f64)
+    div = jnp.asarray(constants.DIV_FACTOR, f64)
     valid = t < num_reads
 
     if window < S:
-        win = jax.lax.dynamic_slice(counts, (0, 0, 0, off_t),
+        win = jax.lax.dynamic_slice(counts, (_z(), _z(), _z(), off_t),
                                     (B, P, A, window))
         a_cov_w = jax.lax.dynamic_slice(a_cov, (off_t,), (window,))
-        w_w = jax.lax.dynamic_slice(w_t, (off_t,), (window,))
-        oh_w = jax.lax.dynamic_slice(oh_t, (0, off_t), (A, window))
+        wq_w = jax.lax.dynamic_slice(wq_t, (off_t,), (window,))
+        oh_w = jax.lax.dynamic_slice(oh_t, (_z(), off_t), (A, window))
     else:
-        win, a_cov_w, w_w, oh_w = counts, a_cov, w_t, oh_t
+        win, a_cov_w, wq_w, oh_w = counts, a_cov, wq_t, oh_t
 
+    # counts carry exact f64 integer quanta (see _step_hist's exact-
+    # arithmetic note); comparisons and sums below are exact.
     maxc = win.max(axis=2)                                  # [B, P, Wn]
-    at = (win * oh_w[None, None]).sum(axis=2)               # [B, P, Wn]
+    at = (win * oh_w[None, None].astype(f64)).sum(axis=2)   # [B, P, Wn]
     empty = maxc == 0.0
     cov = a_cov_w[None, None, :]
-    w = w_w[None, None, :]
-    same = (w * (cov & ~empty & (at == maxc))).sum(-1)      # [B, P]
-    diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
-            + eps * (cov & empty).sum(-1))
-    pval = binom_tail_jnp(same + diff, diff, eps, div)      # [B, P]
+    wq64 = wq_w[None, None, :].astype(f64)
+    same_q = (wq64 * (cov & ~empty & (at == maxc))).sum(-1)  # [B, P]
+    diff_q = ((wq64 * (cov & ~empty & (at < maxc))).sum(-1)
+              + epsq * (cov & empty).sum(-1))
+    pval = binom_tail_jnp((same_q + diff_q) * _INV_WEIGHT_SCALE,
+                          diff_q * _INV_WEIGHT_SCALE, eps64, div)
     if part_active is not None:
         # Inactive parts drop out of the posterior and the candidates.
         pval = jnp.where(part_active[None, :], pval, -jnp.inf)
@@ -244,7 +278,7 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
     if part_active is not None:
         keep = keep & part_active[None, :]
     cand = jnp.where(keep & live[:, None],
-                     score[:, None] + diff, INF)            # [B, P]
+                     score[:, None] + diff_q, INF)          # [B, P]
 
     contribs = None
     if hash_consts is not None:
@@ -252,15 +286,15 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
         F = len(hs)
         start_loc = start_t - off_t if window < S else start_t
         colb = jnp.arange(window) >= start_loc               # [Wn] bool
-        qwin = (jax.lax.dynamic_slice(qstate, (0, 0, 0, off_t),
+        qwin = (jax.lax.dynamic_slice(qstate, (_z(), _z(), _z(), off_t),
                                       (B, P, F, window))
                 if window < S else qstate)
-        mt = _int_weights(w_w)                               # [Wn] u32
+        mt = wq_w.astype(jnp.uint32)                         # [Wn] u32
         zero = jnp.zeros((), jnp.uint32)
         contribs = []
         h_list = []
         for f, (h, gp) in enumerate(zip(hs, gs)):
-            hw = (jax.lax.dynamic_slice(h, (0, off_t), (A, window))
+            hw = (jax.lax.dynamic_slice(h, (_z(), off_t), (A, window))
                   if window < S else h)
             # 0/1 contractions as SELECTS (u32 multiplies decompose on
             # the VPU; see _step_hist's dedup note).
@@ -287,11 +321,10 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
         cand, out_slots)
     new_live = (jnp.arange(out_slots) < width) & (sel_score < _BIG_CUT)
 
-    # Beam gather as a one-hot MXU matmul — substantially faster than an
-    # indexed gather on TPU for these shapes.
-    neww = jnp.einsum("bB,BPAS->bPAS", gather_oh, win,
-                      preferred_element_type=jnp.float32)
-    update = w_w[None, :] * oh_w                            # [A, Wn]
+    # Indexed gather (exact for any dtype): the f64 quanta counts can't
+    # ride the f32 MXU one-hot matmul the old f32 state used.
+    neww = jnp.take(win, parent, axis=0)
+    update = wq_w[None, :].astype(jnp.float64) * oh_w       # [A, Wn]
     neww = neww + part_oh[:, :, None, None] * update[None, None]
     new_score = jnp.where(new_live, sel_score, INF)
 
@@ -301,8 +334,8 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
                          jax.lax.dynamic_slice(
                              base, (0, 0, 0, off_t),
                              (out_slots, P, A, window)))
-        counts_out = jax.lax.dynamic_update_slice(base, neww,
-                                                  (0, 0, 0, off_t))
+        counts_out = jax.lax.dynamic_update_slice(
+            base, neww, (_z(), _z(), _z(), off_t))
     else:
         counts_out = jnp.where(valid, neww, base)
 
@@ -321,7 +354,7 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
                                  qbase, (0, 0, 0, off_t),
                                  (out_slots, P, F, window)))
             qstate_out = jax.lax.dynamic_update_slice(
-                qbase, newq, (0, 0, 0, off_t))
+                qbase, newq, (_z(), _z(), _z(), off_t))
         else:
             qstate_out = jnp.where(valid, newq, qbase)
     else:
@@ -366,11 +399,52 @@ _NUM_FINGERPRINTS = 2
 # exponent is >= -3 for every q >= 1, leaving the 24-bit mantissa on a
 # 2^-26 grid), so w * 2^26 is an exact f32 integer < 2^26.
 _WEIGHT_SCALE = float(1 << 26)
+_INV_WEIGHT_SCALE = 1.0 / (1 << 26)
+
+# Max read rows per exact-plane MXU matmul: each 13-bit quanta plane's
+# read-axis partial sums must stay < 2^24 (f32 exact-integer range), so
+# R-chunks are capped at 2^24 / 2^13 = 2048 rows.
+_R_CHUNK = 2048
+_PLANE_SPLIT = 8192.0      # 2^13: quanta = hi * 2^13 + lo
 
 
 def _int_weights(weights):
     """weights * 2^26 as exact uint32 (see _WEIGHT_SCALE)."""
     return (weights * jnp.float32(_WEIGHT_SCALE)).astype(jnp.uint32)
+
+
+def _window_counts_q(hist, wa_hi, wa_lo):
+    """Exact window count reconstruction in f64 QUANTA.
+
+    hist [B, P, R] is exactly 0/1 f32; wa_hi/wa_lo [R, A, Wn] are the
+    13-bit halves of the per-(read, allele, site) weight quanta
+    (integer-valued f32 < 2^13). Each f32 MXU matmul's read-axis sums
+    stay < 2^24 for R-chunks <= 2048 rows, so every partial product and
+    sum is exact; the halves combine in f64 (exact: quanta < 2^53).
+    Returns [B, P, A, Wn] f64 integer quanta — bit-equal to the
+    reference's f64 per-(site, allele) weight sums in any order."""
+    R = hist.shape[2]
+    f64 = jnp.float64
+    out = None
+    for r0 in range(0, R, _R_CHUNK):
+        r1 = min(r0 + _R_CHUNK, R)
+        h = hist[:, :, r0:r1]
+        hi = jnp.einsum("bpr,raw->bpaw", h, wa_hi[r0:r1],
+                        preferred_element_type=jnp.float32)
+        lo = jnp.einsum("bpr,raw->bpaw", h, wa_lo[r0:r1],
+                        preferred_element_type=jnp.float32)
+        part = hi.astype(f64) * _PLANE_SPLIT + lo.astype(f64)
+        out = part if out is None else out + part
+    return out
+
+
+def _split_weight_planes(oh_all, weights):
+    """(wq [R, S] f32 integer quanta, wa_hi, wa_lo [R, A, S] f32) — the
+    13-bit plane split feeding _window_counts_q."""
+    wq = weights * jnp.float32(_WEIGHT_SCALE)        # exact f32 ints
+    hi = jnp.floor(wq / jnp.float32(_PLANE_SPLIT))
+    lo = wq - hi * jnp.float32(_PLANE_SPLIT)
+    return wq, oh_all * hi[:, None, :], oh_all * lo[:, None, :]
 
 
 def _hash_consts(max_alleles, S, ploidy):
@@ -417,16 +491,33 @@ def _hash_consts_np(max_alleles, S, ploidy):
     return hs, gs
 
 
-def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
-               wa, zs, num_reads, eps, width, ploidy, out_slots,
-               window, gs, part_active=None, dedup=True):
+def _step_hist(hist, score, live, t, off_t, start_t, a_cov, wq_t, oh_t,
+               wa_hi, wa_lo, zs, num_reads, eps64, epsq, width, ploidy,
+               out_slots, window, gs, part_active=None, dedup=True):
     """hist-state twin of _step: the beam state is the per-slot
     assignment history hist[B, P, R] (one-hot over reads) instead of the
     materialized count tensor. The window's counts are reconstructed
-    each step by one MXU matmul over the read axis — O(B*P*R*A*window)
+    each step by MXU matmuls over the read axis — O(B*P*R*A*window)
     FLOPs instead of O(B*P*A*S) state bytes permuted, which profiling
     showed is the beam step's bottleneck on TPU (the permutation of an
     ~80 MB counts state dominated; hist is ~8 MB).
+
+    EXACT ARITHMETIC (see VALIDATION.md "Exact arithmetic"): weights are
+    integer multiples of 2^-26 and epsilon is quantized onto the same
+    grid (options.py), so every count / distance / score the reference
+    computes in f64 is an exact integer number of 2^-26 quanta
+    (< 2^53), and f64 addition of such values is exact and ORDER-FREE.
+    The kernel therefore carries quanta in f64: the window counts are
+    reconstructed as TWO f32 MXU matmuls over 13-bit weight-quanta
+    planes (each plane's read-axis sums stay < 2^24, the f32 exact-
+    integer range, for R <= 2048; _R_CHUNK segments longer blocks) and
+    combined in f64; same/diff/score are f64 quanta sums. The result is
+    bit-equal to the sequential f64 dict oracle BY CONSTRUCTION — an
+    f32 kernel was measurably inexact at ~400x site coverage (round-4
+    deep fuzz, seed 43). Only the binomial tail / log-sum-exp posterior
+    is transcendental; it feeds nothing but the prune threshold, where
+    a flip would need the posterior to sit within ~1 ulp of
+    log(PROB_CUTOFF) — measure-zero.
 
     Truncated-block fingerprints for dedup come from per-read uint32
     suffix sums zint[r, s] = sum_{s'>=s} (w * 2^26) * H[allele, s']
@@ -436,38 +527,45 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
     construction, whatever reads produced them."""
     B, P, R = hist.shape
     A, S = oh_t.shape
-    cutoff = jnp.float32(math.log(constants.PROB_CUTOFF))
-    div = jnp.float32(constants.DIV_FACTOR)
+    f64 = jnp.float64
+    cutoff = jnp.asarray(math.log(constants.PROB_CUTOFF), f64)
+    div = jnp.asarray(constants.DIV_FACTOR, f64)
     valid = t < num_reads
 
     if window < S:
-        wa_win = jax.lax.dynamic_slice(wa, (0, 0, off_t),
-                                       (R, A, window))
+        wa_hi_win = jax.lax.dynamic_slice(wa_hi, (_z(), _z(), off_t),
+                                          (R, A, window))
+        wa_lo_win = jax.lax.dynamic_slice(wa_lo, (_z(), _z(), off_t),
+                                          (R, A, window))
         a_cov_w = jax.lax.dynamic_slice(a_cov, (off_t,), (window,))
-        w_w = jax.lax.dynamic_slice(w_t, (off_t,), (window,))
-        oh_w = jax.lax.dynamic_slice(oh_t, (0, off_t), (A, window))
+        wq_w = jax.lax.dynamic_slice(wq_t, (off_t,), (window,))
+        oh_w = jax.lax.dynamic_slice(oh_t, (_z(), off_t), (A, window))
     else:
-        wa_win, a_cov_w, w_w, oh_w = wa, a_cov, w_t, oh_t
+        wa_hi_win, wa_lo_win = wa_hi, wa_lo
+        a_cov_w, wq_w, oh_w = a_cov, wq_t, oh_t
 
-    win = jnp.einsum("bpr,raw->bpaw", hist, wa_win,
-                     preferred_element_type=jnp.float32)
+    win = _window_counts_q(hist, wa_hi_win, wa_lo_win)      # [B,P,A,Wn]
     maxc = win.max(axis=2)                                  # [B, P, Wn]
-    at = (win * oh_w[None, None]).sum(axis=2)               # [B, P, Wn]
+    at = (win * oh_w[None, None].astype(f64)).sum(axis=2)   # [B, P, Wn]
     empty = maxc == 0.0
     cov = a_cov_w[None, None, :]
-    w = w_w[None, None, :]
-    same = (w * (cov & ~empty & (at == maxc))).sum(-1)      # [B, P]
-    diff = ((w * (cov & ~empty & (at < maxc))).sum(-1)
-            + eps * (cov & empty).sum(-1))
-    pval = binom_tail_jnp(same + diff, diff, eps, div)      # [B, P]
+    wq64 = wq_w[None, None, :].astype(f64)
+    same_q = (wq64 * (cov & ~empty & (at == maxc))).sum(-1)  # [B, P]
+    diff_q = ((wq64 * (cov & ~empty & (at < maxc))).sum(-1)
+              + epsq * (cov & empty).sum(-1))
+    same = same_q * _INV_WEIGHT_SCALE
+    diff = diff_q * _INV_WEIGHT_SCALE
+    pval = binom_tail_jnp(same + diff, diff, eps64, div)    # [B, P]
     if part_active is not None:
         pval = jnp.where(part_active[None, :], pval, -jnp.inf)
     lse = log_sum_exp_jnp(pval, axis=-1)                    # [B]
     keep = (pval - lse[:, None]) > cutoff
     if part_active is not None:
         keep = keep & part_active[None, :]
+    # Scores stay in integer QUANTA (f64): score + diff_q is an exact
+    # integer add, so candidate ordering/dedup compares are exact.
     cand = jnp.where(keep & live[:, None],
-                     score[:, None] + diff, INF)            # [B, P]
+                     score[:, None] + diff_q, INF)          # [B, P]
 
     if dedup:
         h_list = []
@@ -478,7 +576,8 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, w_t, oh_t,
         hmask = hist != 0
         zero = jnp.zeros((), jnp.uint32)
         for z, gp in zip(zs, gs):
-            zt = jax.lax.dynamic_slice(z, (start_t, 0), (1, R))[0]
+            zt = jax.lax.dynamic_slice(z, (start_t, jnp.int32(0)),
+                                       (1, R))[0]
             ph = jnp.where(hmask, zt[None, None, :], zero).sum(
                 axis=-1, dtype=jnp.uint32)                   # [B, P]
             rc = zt[t]  # the read's own full contribution
@@ -544,7 +643,11 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
     rec_dt = jnp.int8 if B1 <= 127 else jnp.int16
     if window <= 0 or window > S:
         window = S
-    eps = epsilon.astype(jnp.float32)
+    _require_x64()
+    # epsilon is pre-quantized onto the 2^-26 grid (options.py) and
+    # < 0.25, so its f32 storage is exact; epsq is its integer quanta.
+    eps64 = epsilon.astype(jnp.float64)
+    epsq = jnp.round(eps64 * _WEIGHT_SCALE)
     if num_parts is None:
         part_active = None
         warm_width = B1
@@ -558,12 +661,12 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
     offs = _window_offsets(covered_all, S, window)
     starts = _read_starts(covered_all, S)
     vs, gs = _hash_consts(A, S, P)
-    wa = oh_all * weights[:, None, :]                       # [R, A, S]
+    wq, wa_hi, wa_lo = _split_weight_planes(oh_all, weights)
     zs = [_suffix_hash(weights, oh_all, v) for v in vs]
 
     hist = jnp.zeros((B1, P, R), dtype=jnp.float32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
-        jnp.float32)
+        jnp.float64)
     live = jnp.arange(B1) == 0
 
     T1 = min(constants.BEAM_WARMUP_READS, R)
@@ -571,11 +674,11 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
     def make_step(width, out_slots):
         def step_fn(state, xs):
             hist, score, live = state
-            t, off_t, st_t, a_cov, w_t, oh_t = xs
+            t, off_t, st_t, a_cov, wq_t, oh_t = xs
             hist, score, live, parent, part = _step_hist(
-                hist, score, live, t, off_t, st_t, a_cov, w_t, oh_t,
-                wa, zs, num_reads, eps, width=width, ploidy=P,
-                out_slots=out_slots, window=window, gs=gs,
+                hist, score, live, t, off_t, st_t, a_cov, wq_t, oh_t,
+                wa_hi, wa_lo, zs, num_reads, eps64, epsq, width=width,
+                ploidy=P, out_slots=out_slots, window=window, gs=gs,
                 part_active=part_active, dedup=dedup)
             # int8 traceback records: parent < B1 <= 127, part < P —
             # quarters the result download vs int32.
@@ -587,7 +690,7 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
     (hist, score, live), (warm_parents, warm_parts) = jax.lax.scan(
         make_step(warm_width, B1), (hist, score, live),
         (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
-         weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
+         wq[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
         empty = jnp.zeros((0, W), dtype=rec_dt)
@@ -595,16 +698,16 @@ def _beam_search_single_hist(alleles, weights, num_reads, epsilon,
 
     hist, score, live, tr_parent, tr_part = _step_hist(
         hist, score, live, jnp.int32(T1), offs[T1], starts[T1],
-        covered_all[T1], weights[T1], oh_all[T1], wa, zs,
-        num_reads, eps, width=W, ploidy=P, out_slots=W, window=window,
-        gs=gs, part_active=part_active, dedup=dedup)
+        covered_all[T1], wq[T1], oh_all[T1], wa_hi, wa_lo, zs,
+        num_reads, eps64, epsq, width=W, ploidy=P, out_slots=W,
+        window=window, gs=gs, part_active=part_active, dedup=dedup)
     tr_parent = tr_parent.astype(rec_dt)
     tr_part = tr_part.astype(rec_dt)
 
     (hist, score, live), (m_parents, m_parts) = jax.lax.scan(
         make_step(W, W), (hist, score, live),
         (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
-         covered_all[T1 + 1:], weights[T1 + 1:], oh_all[T1 + 1:]),
+         covered_all[T1 + 1:], wq[T1 + 1:], oh_all[T1 + 1:]),
         unroll=_SCAN_UNROLL)
 
     main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
@@ -624,7 +727,9 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     rec_dt = jnp.int8 if B1 <= 127 else jnp.int16
     if window <= 0 or window > S:
         window = S
-    eps = epsilon.astype(jnp.float32)
+    _require_x64()
+    eps64 = epsilon.astype(jnp.float64)
+    epsq = jnp.round(eps64 * _WEIGHT_SCALE)
     if num_parts is None:
         part_active = None
         warm_width = B1
@@ -640,21 +745,24 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     starts = _read_starts(covered_all, S)
     hc = _hash_consts(A, S, P) if dedup else None
     nf = _NUM_FINGERPRINTS if dedup else 0
+    wq = weights * jnp.float32(_WEIGHT_SCALE)   # exact f32 int quanta
 
-    counts = jnp.zeros((B1, P, A, S), dtype=jnp.float32)
+    # f64 integer-quanta count state (see _step_hist's exactness note).
+    counts = jnp.zeros((B1, P, A, S), dtype=jnp.float64)
     qstate = jnp.zeros((B1, P, nf, S), dtype=jnp.uint32)
     score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
-        jnp.float32)
+        jnp.float64)
     live = jnp.arange(B1) == 0
 
     T1 = min(constants.BEAM_WARMUP_READS, R)
 
     def warm_step(state, xs):
         counts, qstate, score, live = state
-        t, off_t, st_t, a_cov, w_t, oh_t = xs
+        t, off_t, st_t, a_cov, wq_t, oh_t = xs
         counts, qstate, score, live, parent, part = _step(
-            counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
-            num_reads, eps, width=warm_width, ploidy=P, out_slots=B1,
+            counts, qstate, score, live, t, off_t, a_cov, wq_t, oh_t,
+            num_reads, eps64, epsq, width=warm_width, ploidy=P,
+            out_slots=B1,
             window=window, part_active=part_active, start_t=st_t,
             hash_consts=hc)
         return ((counts, qstate, score, live),
@@ -665,7 +773,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
      (warm_parents, warm_parts)) = jax.lax.scan(
         warm_step, (counts, qstate, score, live),
         (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
-         weights[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
+         wq[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
 
     if R <= T1:
         empty = jnp.zeros((0, W), dtype=rec_dt)
@@ -674,7 +782,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
     # Transition step (read index T1): full B1 parent space, width W.
     counts, qstate, score, live, tr_parent, tr_part = _step(
         counts, qstate, score, live, jnp.int32(T1), offs[T1],
-        covered_all[T1], weights[T1], oh_all[T1], num_reads, eps,
+        covered_all[T1], wq[T1], oh_all[T1], num_reads, eps64, epsq,
         width=W, ploidy=P, out_slots=W, window=window,
         part_active=part_active, start_t=starts[T1], hash_consts=hc)
     tr_parent = tr_parent.astype(rec_dt)
@@ -682,10 +790,10 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
 
     def main_step(state, xs):
         counts, qstate, score, live = state
-        t, off_t, st_t, a_cov, w_t, oh_t = xs
+        t, off_t, st_t, a_cov, wq_t, oh_t = xs
         counts, qstate, score, live, parent, part = _step(
-            counts, qstate, score, live, t, off_t, a_cov, w_t, oh_t,
-            num_reads, eps, width=W, ploidy=P, out_slots=W,
+            counts, qstate, score, live, t, off_t, a_cov, wq_t, oh_t,
+            num_reads, eps64, epsq, width=W, ploidy=P, out_slots=W,
             window=window, part_active=part_active, start_t=st_t,
             hash_consts=hc)
         return ((counts, qstate, score, live),
@@ -695,7 +803,7 @@ def _beam_search_single(alleles, weights, num_reads, epsilon,
      (m_parents, m_parts)) = jax.lax.scan(
         main_step, (counts, qstate, score, live),
         (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
-         covered_all[T1 + 1:], weights[T1 + 1:], oh_all[T1 + 1:]),
+         covered_all[T1 + 1:], wq[T1 + 1:], oh_all[T1 + 1:]),
         unroll=_SCAN_UNROLL)
 
     main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)

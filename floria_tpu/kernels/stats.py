@@ -56,8 +56,13 @@ def distance_matrix_eps(alleles: np.ndarray, weights: np.ndarray,
     w = weights[:, None, :]
     same_mask = cov & ~empty & (at == maxc[None])
     diff_mask = cov & ~empty & (at < maxc[None])
-    same = (w * same_mask).sum(-1)
-    diff = (w * diff_mask).sum(-1) + epsilon * (cov & empty).sum(-1)
+    # f64 accumulation: weights are 2^-26-grid multiples (and epsilon is
+    # grid-quantized, options.py), so these sums are EXACT and equal to
+    # the reference's sequential f64 walk in any order. An f32 sum here
+    # measurably diverged at deep coverage (round-4 deep fuzz).
+    w64 = w.astype(np.float64)
+    same = (w64 * same_mask).sum(-1)
+    diff = (w64 * diff_mask).sum(-1) + epsilon * (cov & empty).sum(-1)
     return same, diff
 
 

@@ -22,44 +22,96 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
+from .beam import (_require_x64, _PLANE_SPLIT, _R_CHUNK, _WEIGHT_SCALE,
+                   _INV_WEIGHT_SCALE)
+
+
+def _chunked_exact_einsum(spec, lhs, rhs_hi, rhs_lo, axis_len):
+    """Exact quanta contraction: two f32 MXU einsums over 13-bit weight
+    planes, R-chunked so partial sums stay < 2^24, combined in f64 (see
+    kernels/beam.py _window_counts_q)."""
+    out = None
+    for r0 in range(0, axis_len, _R_CHUNK):
+        r1 = min(r0 + _R_CHUNK, axis_len)
+        li = lhs[:, r0:r1]
+        hi = jnp.einsum(spec, li, rhs_hi[:, r0:r1],
+                        preferred_element_type=jnp.float32)
+        lo = jnp.einsum(spec, li, rhs_lo[:, r0:r1],
+                        preferred_element_type=jnp.float32)
+        part = hi.astype(jnp.float64) * _PLANE_SPLIT + lo.astype(
+            jnp.float64)
+        out = part if out is None else out + part
+    return out
 
 
 def _eval_diff_score(alleles, weights, assign, epsilon, ploidy,
                      max_alleles):
-    """Move-evaluation core: (diff [G, R, P], score [G]). Runs once per
-    hill-climb iteration, so it computes ONLY what the iteration needs;
-    the unit-weight MEC stats live in _eval_mec (computed once on the
-    final assignment — they never influence the climb)."""
+    """Move-evaluation core: (diff [G, R, P] f64 QUANTA, score [G] f64
+    quanta). Runs once per hill-climb iteration, so it computes ONLY
+    what the iteration needs; the unit-weight MEC stats live in
+    _eval_mec (computed once on the final assignment — they never
+    influence the climb).
+
+    EXACT ARITHMETIC: all counts/distances are integer numbers of
+    2^-26 weight quanta carried in f64 (exact, order-free — see
+    kernels/beam.py _step_hist), reconstructed via 13-bit-plane f32
+    MXU einsums whose partial sums stay in the f32 exact-integer
+    range."""
     P = ploidy
     A = max_alleles
-    eps = epsilon[:, None, None]
+    f64 = jnp.float64
+    _require_x64()
+    eps64 = epsilon.astype(f64)
+    epsq = jnp.round(eps64 * _WEIGHT_SCALE)                  # [G]
+    R = alleles.shape[1]
+    S = alleles.shape[2]
 
     assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)  # [G, R, P]
     covered = (alleles >= 0)
     covf = covered.astype(jnp.float32)
 
+    wq = weights * jnp.float32(_WEIGHT_SCALE)      # exact f32 quanta
+    wq_hi = jnp.floor(wq / jnp.float32(_PLANE_SPLIT))
+    wq_lo = wq - wq_hi * jnp.float32(_PLANE_SPLIT)
+
     counts = []
-    wa_list = []
+    wa_hi_list = []
+    wa_lo_list = []
     for a in range(A):
         is_a = (alleles == a).astype(jnp.float32)
-        wa = weights * is_a                                  # [G, R, S]
-        wa_list.append(wa)
-        counts.append(jnp.einsum("grp,grs->gps", assign_oh, wa,
-                                 preferred_element_type=jnp.float32))
-    counts = jnp.stack(counts, axis=1)                       # [G, A, P, S]
+        wa_hi = wq_hi * is_a                                 # [G, R, S]
+        wa_lo = wq_lo * is_a
+        wa_hi_list.append(wa_hi)
+        wa_lo_list.append(wa_lo)
+        counts.append(_chunked_exact_einsum(
+            "grp,grs->gps", assign_oh, wa_hi, wa_lo, R))
+    counts = jnp.stack(counts, axis=1)         # [G, A, P, S] f64 quanta
 
     maxc = counts.max(axis=1)                                # [G, P, S]
-    nonempty = (maxc > 0.0).astype(jnp.float32)
-    empty = 1.0 - nonempty
+    nonempty32 = (maxc > 0.0).astype(jnp.float32)
+    empty32 = 1.0 - nonempty32
 
-    # diff[g,r,p] = sum_a wa[r,s] . (nonempty*(counts_a<maxc))[p,s]
-    #            + eps * sum_s cov[r,s]*empty[p,s]
-    diff = jnp.einsum("grs,gps->grp", covf, empty,
-                      preferred_element_type=jnp.float32) * eps
+    # diff[g,r,p] = sum_a wq[r,s] . (nonempty*(counts_a<maxc))[p,s]
+    #            + epsq * sum_s cov[r,s]*empty[p,s]      (f64 quanta)
+    # The empty/lt masks are 0/1 and the site-count einsum sums are
+    # integers <= S < 2^24, so the f32 mask einsums are exact.
+    nempty = jnp.einsum("grs,gps->grp", covf, empty32,
+                        preferred_element_type=jnp.float32)
+    diff = nempty.astype(f64) * epsq[:, None, None]
     for a in range(A):
-        lt = nonempty * (counts[:, a] < maxc)
-        diff = diff + jnp.einsum("grs,gps->grp", wa_list[a], lt,
-                                 preferred_element_type=jnp.float32)
+        lt = nonempty32 * (counts[:, a] < maxc)              # [G, P, S]
+        out = None
+        for s0 in range(0, S, _R_CHUNK):
+            s1 = min(s0 + _R_CHUNK, S)
+            hi = jnp.einsum("grs,gps->grp",
+                            wa_hi_list[a][:, :, s0:s1], lt[:, :, s0:s1],
+                            preferred_element_type=jnp.float32)
+            lo = jnp.einsum("grs,gps->grp",
+                            wa_lo_list[a][:, :, s0:s1], lt[:, :, s0:s1],
+                            preferred_element_type=jnp.float32)
+            part = hi.astype(f64) * _PLANE_SPLIT + lo.astype(f64)
+            out = part if out is None else out + part
+        diff = diff + out
 
     # Phred MEC-epsilon score (local_clustering.rs:218-260): per part and
     # site with any entry: errors += total - max + eps*(max <= 1).
@@ -68,20 +120,29 @@ def _eval_diff_score(alleles, weights, assign, epsilon, ploidy,
     # small-integer-valued counts compared against 0).
     pcov = jnp.einsum("grp,grs->gps", assign_oh, covf,
                       preferred_element_type=jnp.float32)
-    has_key = (pcov > 0).astype(jnp.float32)                 # [G, P, S]
+    has_key = pcov > 0                                       # [G, P, S]
     total = counts.sum(axis=1)
-    errors = ((total - maxc) * has_key).sum((1, 2))
-    errors = errors + (epsilon
-                       * ((maxc <= 1.0) * has_key).sum((1, 2)))
-    score = -errors                                          # [G]
+    one_q = jnp.asarray(_WEIGHT_SCALE, f64)       # weight 1.0 in quanta
+    errors = jnp.where(has_key, total - maxc, 0.0).sum((1, 2))
+    errors = errors + (epsq
+                       * ((maxc <= one_q) & has_key).sum((1, 2)))
+    score = -errors                              # [G] f64 quanta
     return diff, score
 
 
 def _eval_mec(alleles, assign, epsilon, ploidy, max_alleles):
     """Unit-weight MEC stats (get_mec_stats_epsilon_no_phred) for the
-    ploidy-sweep stopping rules: mec_noph [G, 2] = (bases, errors)."""
+    ploidy-sweep stopping rules: mec_noph [G, 2] = (bases, errors).
+
+    Unit counts are integers < 2^24, so the f32 einsums are exact; the
+    epsilon term is added in f64 on the 2^-26 grid (exact, order-free —
+    equal to the oracle's sequential f64 `errors += eps` walk)."""
     P = ploidy
     A = max_alleles
+    f64 = jnp.float64
+    _require_x64()
+    eps64 = epsilon.astype(f64)
+    eps_grid = jnp.round(eps64 * _WEIGHT_SCALE) / _WEIGHT_SCALE
     assign_oh = jax.nn.one_hot(assign, P, dtype=jnp.float32)
     covf = (alleles >= 0).astype(jnp.float32)
     ucounts = []
@@ -91,16 +152,24 @@ def _eval_mec(alleles, assign, epsilon, ploidy, max_alleles):
                                   preferred_element_type=jnp.float32))
     ucounts = jnp.stack(ucounts, axis=1)
     umax = ucounts.max(axis=1)
-    uhas = (ucounts.sum(axis=1) > 0).astype(jnp.float32)
-    ubases = (umax * uhas).sum((1, 2))
-    uerr = ((ucounts.sum(axis=1) - umax) * uhas).sum((1, 2))
-    uerr = uerr + epsilon * ((umax <= 1.0) * uhas).sum((1, 2))
+    uhas = ucounts.sum(axis=1) > 0
+    ubases = jnp.where(uhas, umax, 0.0).sum((1, 2)).astype(f64)
+    uerr = jnp.where(uhas, ucounts.sum(axis=1) - umax, 0.0).sum(
+        (1, 2)).astype(f64)
+    uerr = uerr + eps_grid * ((umax <= 1.0) & uhas).sum((1, 2))
     return jnp.stack([ubases, uerr], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
 def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
                     max_alleles=constants.MAX_ALLELES):
+    with jax.enable_x64():
+        return _upem_eval_batch_jit(alleles, weights, assign, epsilon,
+                                    ploidy, max_alleles)
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
+def _upem_eval_batch_jit(alleles, weights, assign, epsilon, ploidy,
+                         max_alleles=constants.MAX_ALLELES):
     """Evaluate a batch of partitions.
 
     alleles [G, R, S] int8, weights [G, R, S] f32, assign [G, R] int32
@@ -113,7 +182,10 @@ def upem_eval_batch(alleles, weights, assign, epsilon, ploidy,
     diff, score = _eval_diff_score(alleles, weights, assign, epsilon,
                                    ploidy, max_alleles)
     mec_noph = _eval_mec(alleles, assign, epsilon, ploidy, max_alleles)
-    return diff, score, mec_noph
+    # Internals carry integer 2^-26 quanta; the public unit is weights.
+    # The power-of-two rescale is exact.
+    return (diff * _INV_WEIGHT_SCALE, score * _INV_WEIGHT_SCALE,
+            mec_noph)
 
 
 def _apply_moves_single(assign, diff, num_reads):
@@ -150,7 +222,7 @@ def _apply_moves_single(assign, diff, num_reads):
 
     def body(carry):
         k, new_assign, moved, cur, stop = carry
-        idx = order[k]
+        idx = order[k].astype(jnp.int32)   # argsort yields i64 under x64
         r = idx // P
         j = idx % P
         i = assign[r]  # source = original part (reads move at most once)
@@ -169,9 +241,18 @@ def _apply_moves_single(assign, diff, num_reads):
     return new_assign
 
 
-@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
 def upem_optimize_device(alleles, weights, assign0, num_reads, epsilon,
                          ploidy, max_alleles=constants.MAX_ALLELES):
+    with jax.enable_x64():
+        return _upem_optimize_device_jit(alleles, weights, assign0,
+                                         num_reads, epsilon, ploidy,
+                                         max_alleles)
+
+
+@functools.partial(jax.jit, static_argnames=("ploidy", "max_alleles"))
+def _upem_optimize_device_jit(alleles, weights, assign0, num_reads,
+                              epsilon, ploidy,
+                              max_alleles=constants.MAX_ALLELES):
     """Whole UPEM hill-climb (optimize_clustering,
     local_clustering.rs:71-130) as ONE device dispatch: a while_loop of
     at most NUM_ITER_OPTIMIZE lockstep iterations, each evaluating every
@@ -212,7 +293,7 @@ def upem_optimize_device(alleles, weights, assign0, num_reads, epsilon,
     # eval on the winning assignment replaces computing them (A more
     # full-tensor einsums) inside every iteration.
     best_mec = _eval_mec(alleles, best, epsilon, ploidy, max_alleles)
-    return best, best_mec, diff
+    return best, best_mec, diff * _INV_WEIGHT_SCALE
 
 
 def apply_moves(assign: np.ndarray, diff: np.ndarray, ploidy: int,

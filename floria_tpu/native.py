@@ -204,7 +204,10 @@ def _bind(lib) -> None:
         np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        # epsilon crosses as DOUBLE: the oracle's f64 epsilon narrowed
+        # to f32 shifted every diff/pval enough to flip beam pruning at
+        # deep coverage (fuzz seed 19, round 4).
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
 
 

@@ -72,6 +72,21 @@ class Options:
     # (phase/local.py:_sweep_launch).
     sweep_cap: str = "auto"
 
+    def __post_init__(self) -> None:
+        # Quantize epsilon onto the 2^-26 weight grid (phred weights are
+        # exact multiples of 2^-26, kernels/beam.py _WEIGHT_SCALE). With
+        # epsilon on the same grid, EVERY quantity in the distance /
+        # MEC / beam-score arithmetic is an exact multiple of 2^-26 with
+        # magnitude < 2^27, so f64 additions are exact and ORDER-FREE:
+        # the reference's sequential f64 walks (utils_frags.rs:32-75,
+        # global_clustering.rs:84-118) and this framework's vectorized
+        # f64 reductions provably compute identical values. The shift is
+        # < 7.5e-9 — below any measurable input-noise scale (the
+        # reference's own auto-estimator quantizes epsilon to 1/500
+        # pileup steps, file_reader.rs:749-826). See VALIDATION.md
+        # "Exact arithmetic".
+        self.epsilon = round(self.epsilon * 67108864.0) / 67108864.0
+
     def validate(self) -> None:
         if not (1 <= self.ploidy_sensitivity <= 3):
             raise ValueError("ploidy sensitivity must be between 1 and 3")

@@ -78,13 +78,16 @@ def beam_search_sharded(mesh: Mesh, alleles: np.ndarray,
         window = S
     if max_alleles is None:
         max_alleles = beam_kernel.constants.MAX_ALLELES
-    fn = _sharded_beam_fn(mesh, max_ploidy, beam_width, window,
-                          max_alleles)
-    sharding = NamedSharding(mesh, P("block"))
-    args = [jax.device_put(a, sharding)
-            for a in (alleles, weights, num_reads, epsilon,
-                      np.asarray(num_parts, dtype=np.int32))]
-    out = fn(*args)
+    # x64: the beam kernel carries exact f64 quanta (kernels/beam.py
+    # _require_x64); the ctx must cover trace AND execution.
+    with jax.enable_x64():
+        fn = _sharded_beam_fn(mesh, max_ploidy, beam_width, window,
+                              max_alleles)
+        sharding = NamedSharding(mesh, P("block"))
+        args = [jax.device_put(a, sharding)
+                for a in (alleles, weights, num_reads, epsilon,
+                          np.asarray(num_parts, dtype=np.int32))]
+        out = fn(*args)
     return tuple(np.asarray(a)[:G] for a in out)
 
 
@@ -163,4 +166,12 @@ def training_step_sharded(mesh: Mesh, ploidy: int, beam_width: int):
         all_assigns = jax.lax.all_gather(assigns, "block", tiled=True)
         return all_assigns, total
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    def step_x64(*args):
+        # The beam kernel requires x64 (exact f64 quanta); entering the
+        # ctx here covers both the trace and every execution.
+        with jax.enable_x64():
+            return jitted(*args)
+
+    return step_x64

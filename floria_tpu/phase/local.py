@@ -624,20 +624,26 @@ def _sweep_launch(blocks, options: Options, cache: "BlockDeviceCache",
             # per-rank fixed cost of multi-process cold starts
             # (aotcache.py; the reference's rayon pool has no analog
             # cost, parse_cmd_line.rs:153-156).
+            # x64 wraps trace + export + execution: the chain's beam
+            # and UPEM carry exact f64 quanta (kernels/beam.py
+            # _require_x64).
+            import jax as _jax
             if ploidy == (1, 2):
                 static_key = (2, options.max_number_solns, window,
                               amax, True)
-                mec1, best2, mec2 = aotcache.call(
-                    "sweep_chain", static_key,
-                    _sweep_chain_fn(*static_key),
-                    (dev_a, dev_q, idx, nreads, eps))
+                with _jax.enable_x64():
+                    mec1, best2, mec2 = aotcache.call(
+                        "sweep_chain", static_key,
+                        _sweep_chain_fn(*static_key),
+                        (dev_a, dev_q, idx, nreads, eps))
                 return members, ploidy, best2, (mec1, mec2)
             static_key = (ploidy, options.max_number_solns, window,
                           amax)
-            best, mec = aotcache.call(
-                "sweep_chain", static_key,
-                _sweep_chain_fn(*static_key),
-                (dev_a, dev_q, idx, nreads, eps))
+            with _jax.enable_x64():
+                best, mec = aotcache.call(
+                    "sweep_chain", static_key,
+                    _sweep_chain_fn(*static_key),
+                    (dev_a, dev_q, idx, nreads, eps))
             return members, ploidy, best, mec
         alleles, weights = cache.gather((r_pad, s_pad), ids)
         if ploidy == 1:

@@ -144,8 +144,11 @@ class _PartState:
         maxc = sites.max(axis=1)
         at = sites[np.arange(len(f.snps)), f.alleles]
         empty = maxc == 0.0
-        same = float(f.weights[(~empty) & (at == maxc)].sum())
-        diff = float(f.weights[(~empty) & (at < maxc)].sum()
+        # f64 sums: exact on the 2^-26 weight grid (see stats.py
+        # distance_matrix_eps).
+        w64 = f.weights.astype(np.float64)
+        same = float(w64[(~empty) & (at == maxc)].sum())
+        diff = float(w64[(~empty) & (at < maxc)].sum()
                      + epsilon * empty.sum())
         return same, diff
 
@@ -318,10 +321,18 @@ def separate_broken_haplogroups(parts: List[Set[int]],
     """Split haplogroups at internal zero-coverage SNP gaps
     (part_block_manip.rs:27-98). Originals are emptied in place (their
     range rows kept), splits appended."""
+    # Scan order: first_position with read id as the tie-break. The
+    # reference sorts only by first position (part_block_manip.rs:36-38)
+    # so ties keep hashmap order — nondeterministic there; a total key
+    # is required here because which read CLOSES a segment (and is
+    # dropped) depends on scan order when first positions tie. Keep in
+    # sync with tests/oracle_pipeline.py:_separate_broken.
+    def _scan_key(fid):
+        return (frags[fid].first_position, fid)
+
     all_breaks = []
     for i in range(len(ranges)):
-        ordered = sorted(parts[i],
-                         key=lambda fid: frags[fid].first_position)
+        ordered = sorted(parts[i], key=_scan_key)
         latest = 0
         breaks = []
         for fid in ordered:
@@ -337,8 +348,7 @@ def separate_broken_haplogroups(parts: List[Set[int]],
     new_parts: List[Set[int]] = []
     new_ranges: List[Tuple[int, int]] = []
     for i, breaks in all_breaks:
-        ordered = sorted(parts[i],
-                         key=lambda fid: frags[fid].first_position)
+        ordered = sorted(parts[i], key=_scan_key)
         spot_index = 0
         break_start = ranges[i][0]
         end_spot = breaks[0]

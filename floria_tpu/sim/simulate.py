@@ -47,6 +47,14 @@ class SimConfig:
     # blobs are stripped from this snapshot, so simulated reads against
     # the true positions are the closest reachable workload).
     snp_positions: Optional[Sequence[int]] = None
+    # Per-base qual jitter: quals drawn uniformly from
+    # [base_qual - qual_jitter, base_qual + qual_jitter] (clipped to
+    # [2, 41]) instead of the constant base_qual. Default 0 keeps every
+    # existing seed's byte stream unchanged (the RNG is not consumed).
+    # Non-uniform quals make -q/--use-qual-scores runs exercise
+    # per-site fractional weights through scoring, dedup fingerprints
+    # and UPEM (utils_frags.rs:14-31 derives weights from these).
+    qual_jitter: int = 0
     seed: int = 7
 
 
@@ -274,6 +282,16 @@ def _mutate(rng: np.random.Generator, seq: np.ndarray,
     return out
 
 
+def _quals(rng, cfg: SimConfig, n: int):
+    """Per-base phred quals. jitter==0 returns the constant list WITHOUT
+    consuming rng, so pre-existing seeds reproduce byte-identically."""
+    if cfg.qual_jitter <= 0:
+        return [cfg.base_qual] * n
+    lo = max(2, cfg.base_qual - cfg.qual_jitter)
+    hi = min(41, cfg.base_qual + cfg.qual_jitter)
+    return rng.integers(lo, hi + 1, n).tolist()
+
+
 def _sim_long_read(rng, cfg: SimConfig, strain: np.ndarray, idx: int,
                    k: int, records, read_strains) -> None:
     ln = int(np.clip(rng.normal(cfg.read_length, cfg.read_length_sd),
@@ -288,7 +306,7 @@ def _sim_long_read(rng, cfg: SimConfig, strain: np.ndarray, idx: int,
         _sim_split_read(rng, cfg, strain, name, pos, ln, records)
         return
     seq = _mutate(rng, strain[pos:pos + ln], cfg.error_rate)
-    qual = [cfg.base_qual] * len(seq)
+    qual = _quals(rng, cfg, len(seq))
     rec = bamwrite.encode_record(name, 0, 0, pos, 60,
                                  [(len(seq), "M")], seq.tobytes(), qual)
     records.append((pos, rec))
@@ -306,12 +324,15 @@ def _sim_split_read(rng, cfg: SimConfig, strain: np.ndarray, name: str,
     seg1 = _mutate(rng, strain[pos:pos + h1], cfg.error_rate)
     seg2 = _mutate(rng, strain[pos2:pos2 + h2], cfg.error_rate)
     full = np.concatenate([seg1, seg2])
-    qual = [cfg.base_qual] * ln
+    qual = _quals(rng, cfg, ln)
     primary = bamwrite.encode_record(
         name, 0, 0, pos, 60, [(h1, "M"), (h2, "S")], full.tobytes(), qual)
+    # The supplementary carries the SECOND segment's bases, so its quals
+    # are qual[h1:] (identical to the old qual[:h2] when quals are
+    # uniform; distinct — and aligner-faithful — under qual_jitter).
     supp = bamwrite.encode_record(
         name, 2048, 0, pos2, 60, [(h1, "H"), (h2, "M")], seg2.tobytes(),
-        qual[:h2])
+        qual[h1:])
     records.append((pos, primary))
     records.append((pos2, supp))
 
@@ -326,12 +347,13 @@ def _sim_pair(rng, cfg: SimConfig, strain: np.ndarray, idx: int, k: int,
     seq1 = _mutate(rng, strain[pos:pos + rl], cfg.error_rate)
     pos2 = pos + rl + cfg.insert_size
     seq2 = _mutate(rng, strain[pos2:pos2 + rl], cfg.error_rate)
-    qual = [cfg.base_qual] * rl
+    qual1 = _quals(rng, cfg, rl)
+    qual2 = _quals(rng, cfg, rl)
     rec1 = bamwrite.encode_record(
-        name, 1 | 64 | 32, 0, pos, 60, [(rl, "M")], seq1.tobytes(), qual,
+        name, 1 | 64 | 32, 0, pos, 60, [(rl, "M")], seq1.tobytes(), qual1,
         next_tid=0, next_pos=pos2, tlen=span)
     rec2 = bamwrite.encode_record(
-        name, 1 | 128 | 16, 0, pos2, 60, [(rl, "M")], seq2.tobytes(), qual,
+        name, 1 | 128 | 16, 0, pos2, 60, [(rl, "M")], seq2.tobytes(), qual2,
         next_tid=0, next_pos=pos, tlen=-span)
     records.append((pos, rec1))
     records.append((pos2, rec2))

@@ -293,11 +293,18 @@ inline uint64_t fx_mix(uint64_t k) {
 }
 
 struct FlatHap {
-  // Open-addressing map: pos -> float[kA] counts. Tombstone-free
+  // Open-addressing map: pos -> double[kA] counts. Tombstone-free
   // (no deletions; truncation builds a fresh map, like the reference).
+  // Counts MUST be f64: the reference accumulates OrderedFloat<f64>
+  // (types_structs.rs GenotypeCount) and the per-site sums of
+  // 2^-26-quantized weights are exact in f64 but ROUND in f32 once a
+  // site's total needs >24 mantissa bits (~>=2^-2 * 2^26 of weight —
+  // a few hundred reads on one SNP). An f32 FlatHap flipped
+  // consensus-equality verdicts vs the dict oracle at ~400x site
+  // coverage (fuzz seed 19, round 4).
   static constexpr int kA = 4;
   std::vector<uint32_t> keys;    // 0xffffffff = empty
-  std::vector<float> vals;       // capacity * kA
+  std::vector<double> vals;      // capacity * kA
   size_t size = 0;
   uint32_t mask = 0;
 
@@ -305,10 +312,10 @@ struct FlatHap {
     size_t cap = 8;
     while (cap < cap_hint * 2) cap <<= 1;
     keys.assign(cap, 0xffffffffu);
-    vals.assign(cap * kA, 0.0f);
+    vals.assign(cap * kA, 0.0);
     mask = static_cast<uint32_t>(cap - 1);
   }
-  float* find(uint32_t pos) {
+  double* find(uint32_t pos) {
     uint32_t i = static_cast<uint32_t>(fx_mix(pos)) & mask;
     while (true) {
       if (keys[i] == pos) return &vals[static_cast<size_t>(i) * kA];
@@ -316,10 +323,10 @@ struct FlatHap {
       i = (i + 1) & mask;
     }
   }
-  const float* find(uint32_t pos) const {
+  const double* find(uint32_t pos) const {
     return const_cast<FlatHap*>(this)->find(pos);
   }
-  float* insert(uint32_t pos) {
+  double* insert(uint32_t pos) {
     if ((size + 1) * 2 > keys.size()) grow();
     uint32_t i = static_cast<uint32_t>(fx_mix(pos)) & mask;
     while (true) {
@@ -336,8 +343,8 @@ struct FlatHap {
     FlatHap bigger(keys.size());
     for (size_t i = 0; i < keys.size(); ++i)
       if (keys[i] != 0xffffffffu) {
-        float* v = bigger.insert(keys[i]);
-        std::memcpy(v, &vals[i * kA], sizeof(float) * kA);
+        double* v = bigger.insert(keys[i]);
+        std::memcpy(v, &vals[i * kA], sizeof(double) * kA);
       }
     *this = std::move(bigger);
   }
@@ -345,9 +352,12 @@ struct FlatHap {
     if (size != o.size) return false;
     for (size_t i = 0; i < keys.size(); ++i) {
       if (keys[i] == 0xffffffffu) continue;
-      const float* ov = o.find(keys[i]);
+      const double* ov = o.find(keys[i]);
+      // memcmp on doubles: counts are non-negative sums (no -0.0), and
+      // f64 sums of quantized weights are exact, so bit-equality is
+      // value-equality.
       if (ov == nullptr ||
-          std::memcmp(ov, &vals[i * kA], sizeof(float) * kA) != 0)
+          std::memcmp(ov, &vals[i * kA], sizeof(double) * kA) != 0)
         return false;
     }
     return true;
@@ -364,11 +374,11 @@ inline void dist_eps_map(const Read& read, const FlatHap& hap, double eps,
                          double* same_out, double* diff_out) {
   double same = 0.0, diff = 0.0;
   for (const Site& st : read.sites) {
-    const float* v = hap.find(static_cast<uint32_t>(st.col));
-    float maxc = 0.0f;
+    const double* v = hap.find(static_cast<uint32_t>(st.col));
+    double maxc = 0.0;
     if (v != nullptr)
       for (int a = 0; a < FlatHap::kA; ++a) maxc = std::max(maxc, v[a]);
-    if (maxc == 0.0f) {
+    if (maxc == 0.0) {
       diff += eps;
     } else if (v[st.allele] == maxc) {
       same += st.weight;
@@ -426,9 +436,9 @@ std::vector<int8_t> beam_search_block_faithful(
           FlatHap dst(src.size + 4);
           for (size_t k = 0; k < src.keys.size(); ++k)
             if (src.keys[k] != 0xffffffffu && src.keys[k] >= startpos) {
-              float* v = dst.insert(src.keys[k]);
+              double* v = dst.insert(src.keys[k]);
               std::memcpy(v, &src.vals[k * FlatHap::kA],
-                          sizeof(float) * FlatHap::kA);
+                          sizeof(double) * FlatHap::kA);
             }
           child.parts.push_back(std::move(dst));
         }
@@ -502,7 +512,7 @@ extern "C" {
 int64_t floria_baseline_sweep(const int8_t* alleles, const float* weights,
                               int32_t G, int32_t R, int32_t S,
                               const int32_t* ploidies, int32_t n_ploidies,
-                              int32_t beam_width, float epsilon,
+                              int32_t beam_width, double epsilon,
                               int32_t max_alleles, int32_t do_upem,
                               int32_t faithful, int32_t* out_assign) {
   const int A = max_alleles;

@@ -504,10 +504,17 @@ def final_parts(haplogroups, frags, options, short_frags=()):
 
 
 def _separate_broken(parts, ranges, frags) -> None:
+    # Canonical total scan key (first_position, id): the reference's
+    # first_position-only sort leaves ties in hashmap order
+    # (part_block_manip.rs:36-38) and the segment-closing read is
+    # dropped, so tie order changes membership. Keep in sync with
+    # post/finalize.py:separate_broken_haplogroups.
+    def _scan_key(fid):
+        return (frags[fid].first_position, fid)
+
     all_breaks = []
     for i in range(len(ranges)):
-        ordered = sorted(parts[i],
-                         key=lambda fid: frags[fid].first_position)
+        ordered = sorted(parts[i], key=_scan_key)
         latest = 0
         breaks = []
         for fid in ordered:
@@ -522,8 +529,7 @@ def _separate_broken(parts, ranges, frags) -> None:
     new_parts = []
     new_ranges = []
     for i, breaks in all_breaks:
-        ordered = sorted(parts[i],
-                         key=lambda fid: frags[fid].first_position)
+        ordered = sorted(parts[i], key=_scan_key)
         spot = 0
         start = ranges[i][0]
         end_spot = breaks[0]

@@ -60,7 +60,11 @@ def test_pallas_matches_xla(G, R, S, P, W, seed, nparts):
         nr = num_reads[g]
         np.testing.assert_array_equal(ra[g, :nr], ga[g, :nr])
     assert np.array_equal(np.asarray(ref.live), np.asarray(got.live))
-    rs = np.where(np.asarray(ref.live), np.asarray(ref.scores), 0.0)
+    # The XLA kernel's scores are exact integer 2^-26 quanta (f64);
+    # the Pallas experiment keeps weight-unit f32 scores. Rescale for
+    # the comparison (exact power-of-two).
+    rs = np.where(np.asarray(ref.live),
+                  np.asarray(ref.scores) / float(1 << 26), 0.0)
     gs = np.where(np.asarray(got.live), np.asarray(got.scores), 0.0)
     np.testing.assert_allclose(rs, gs, atol=1e-4)
 

@@ -53,6 +53,52 @@ def test_native_baseline_faithful_matches_oracle_exactly(lib, ploidy,
         assert list(asg[g]) == list(want), (g, ploidy, seed)
 
 
+@pytest.mark.parametrize("ploidy,beam_width", [(3, 13), (4, 7)])
+def test_native_baseline_faithful_deep_coverage_exact(lib, ploidy,
+                                                      beam_width):
+    """Deep-coverage, non-default-width exactness pin (600 reads on 8
+    SNPs, mixed phred weights, full-precision epsilon). Round 4 found
+    two faithful-baseline exactness bugs that only surfaced in this
+    regime: f32 FlatHap counts rounding per-site sums past 24 mantissa
+    bits, and epsilon narrowing to f32 at the C ABI. The end-to-end
+    regression pin for those is the fuzz seed-19 case
+    (test_pipeline_fuzz.py); this adds a direct native-vs-oracle check
+    in the same regime."""
+    import oracle
+
+    rng = np.random.default_rng(1234 + ploidy)
+    R, S = 600, 8
+    eps = 0.029343605990619144
+    alleles = np.full((1, R, S), -1, dtype=np.int8)
+    weights = np.zeros((1, R, S), dtype=np.float32)
+    truth = rng.integers(0, 2, (3, S))
+    for r in range(R):
+        k = r % 3
+        span = sorted(rng.choice(S, size=int(rng.integers(2, S + 1)),
+                                 replace=False))
+        lo, hi = span[0], span[-1]
+        for c in range(lo, hi + 1):
+            a = int(truth[k, c])
+            if rng.random() < 0.03:
+                a = 1 - a
+            alleles[0, r, c] = a
+            q = int(rng.integers(13, 41))
+            weights[0, r, c] = np.float32(
+                1.0 - np.float32(10.0) ** (np.float32(q) /
+                                           np.float32(-10.0)))
+    # canonical read order: (first asc, last desc, index asc)
+    first = np.argmax(alleles[0] >= 0, axis=1)
+    last = S - 1 - np.argmax(alleles[0, :, ::-1] >= 0, axis=1)
+    order = np.lexsort((np.arange(R), -last, first))
+    alleles[0] = alleles[0][order]
+    weights[0] = weights[0][order]
+    asg = native.baseline_sweep(alleles, weights, [ploidy], beam_width,
+                                eps, faithful=True, want_assign=True)
+    reads = _workload_reads(alleles, weights, 0)
+    want = oracle.beam_search(reads, ploidy, eps, beam_width=beam_width)
+    assert list(asg[0]) == list(want)
+
+
 def test_native_baseline_dense_matches_oracle_mec(lib):
     """The dense (generous) baseline skips dedup, so assignments may
     diverge on exact-duplicate beams; its MEC must still match the

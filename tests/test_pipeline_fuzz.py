@@ -36,6 +36,12 @@ def _draw_config(seed: int) -> SimConfig:
         num_snps=int(rng.integers(70, 140)),
         error_rate=float(rng.uniform(0.005, 0.03)),
         strain_abundances=abundances,
+        # Non-uniform per-base quals: phred weighting is ALWAYS on
+        # (constants.rs:15 USE_QUAL_SCORES=true), so jittered quals
+        # drive fractional per-site weights through scoring, the
+        # integer dedup fingerprints and UPEM on both sides.
+        base_qual=int(rng.integers(13, 35)),
+        qual_jitter=int(rng.integers(0, 9)),
         seed=seed * 7919 + 13,
     )
     if mode == 1:
@@ -53,21 +59,40 @@ def _draw_config(seed: int) -> SimConfig:
                      **common)
 
 
-@pytest.mark.parametrize("seed", range(6))
+# Default 6 seeds keeps the suite fast; set FLORIA_FUZZ_SEEDS=N for a
+# deeper sweep (e.g. 48 — run once per round, results in VALIDATION.md).
+# Seed 19 is pinned unconditionally: its dense paired-read block
+# (~1000 reads x 34 SNPs at ~400x site coverage, beam width 13) caught
+# two faithful-baseline exactness bugs in round 4 (f32 FlatHap count
+# rounding, epsilon narrowed to f32 at the C ABI) plus the
+# separate_broken first-position sort-tie (all fixed; see VALIDATION.md
+# "Deep fuzz").
+_FUZZ_SEEDS = sorted(
+    set(range(int(os.environ.get("FLORIA_FUZZ_SEEDS", "6")))) | {19})
+
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS)
 def test_pipeline_fuzz_matches_oracle(seed, tmp_path):
     cfg = _draw_config(seed)
     sim_dir = tmp_path / "sim"
     simulate(cfg, str(sim_dir))
     out_dir = tmp_path / "out"
+    orng = np.random.default_rng(seed + 100)
     opts = Options(
         bam_file=os.path.join(str(sim_dir), "sim.bam"),
         vcf_file=os.path.join(str(sim_dir), "sim.vcf"),
         reference_fasta=os.path.join(str(sim_dir), "sim.fa"),
         out_dir=str(out_dir),
-        epsilon=float(np.random.default_rng(seed + 100).uniform(
-            0.015, 0.03)),
+        epsilon=float(orng.uniform(0.015, 0.03)),
         block_length=int(np.random.default_rng(seed + 200).integers(
             3_000, 5_000)),
+        # Widen the phasing-option space the oracle honors too: ploidy
+        # sweep depth, beam width, sensitivity, and the stopping
+        # heuristic (floria.rs:79-118).
+        max_ploidy=int(orng.integers(3, 6)),
+        max_number_solns=int(orng.integers(5, 17)),
+        ploidy_sensitivity=int(orng.integers(1, 4)),
+        stopping_heuristic=bool(orng.random() > 0.15),
         snp_count_filter=10, overwrite=True)
     os.makedirs(out_dir, exist_ok=True)
     run(opts)
