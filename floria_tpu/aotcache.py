@@ -69,18 +69,22 @@ def _enabled() -> bool:
 
 
 def _code_fingerprint() -> str:
-    """Hash of the sources that define kernel semantics: a blob traced
-    by old code must not serve new code."""
+    """Hash of EVERY .py in the package: a blob traced by old code must
+    not serve new code. The traced sweep-chain program bakes in more
+    than kernels/ (constants.py thresholds, frag.py's phred table,
+    options quantization — advisor round 4), so the fingerprint covers
+    the whole package rather than tracking an include list that can go
+    stale; the cost is one pass over ~50 small files, once."""
     global _FINGERPRINT
     if _FINGERPRINT is None:
         h = hashlib.sha1()
         pkg = os.path.dirname(os.path.abspath(__file__))
         files = []
-        kdir = os.path.join(pkg, "kernels")
-        for name in sorted(os.listdir(kdir)):
-            if name.endswith(".py"):
-                files.append(os.path.join(kdir, name))
-        files.append(os.path.join(pkg, "phase", "local.py"))
+        for root, dirs, names in os.walk(pkg):
+            dirs.sort()
+            for name in sorted(names):
+                if name.endswith(".py"):
+                    files.append(os.path.join(root, name))
         for path in files:
             with open(path, "rb") as fh:
                 h.update(fh.read())

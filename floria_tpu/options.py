@@ -88,6 +88,14 @@ class Options:
         self.epsilon = round(self.epsilon * 67108864.0) / 67108864.0
 
     def validate(self) -> None:
+        if not (0.0 < self.epsilon < 0.25):
+            # The exactness argument needs epsilon < 0.25: its 2^-26
+            # quanta then carry <= 24 significant bits, so the f32
+            # epsilon arrays fed to the device kernels store the grid
+            # value exactly (kernels/beam.py _WEIGHT_SCALE; advisor
+            # round 4). Error rates >= 25% are nonsensical anyway.
+            raise ValueError(
+                f"epsilon must be in (0, 0.25), got {self.epsilon}")
         if not (1 <= self.ploidy_sensitivity <= 3):
             raise ValueError("ploidy sensitivity must be between 1 and 3")
         if self.max_ploidy < 1:

@@ -427,8 +427,8 @@ class BlockDeviceCache:
             # ~20 s of per-process trace/deserialize). Padded rows are
             # unreachable (idx gathers only real rows, aotexp_index
             # census in VALIDATION.md), so this is output-invariant;
-            # memory cost is bounded by pow2 below 128 / next multiple
-            # of 128 above.
+            # memory cost is bounded by pow2 below 128 / 64-multiples
+            # above 128 (<= +20% overhead, _bucket_cache_rows).
             B = _bucket_cache_rows(len(members))
             alleles = np.full((B, r_pad, s_pad), -1, dtype=np.int8)
             quals = np.zeros((B, r_pad, s_pad), dtype=np.uint8)

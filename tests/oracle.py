@@ -49,9 +49,37 @@ def dist_eps(read: Read, hap: Hap, eps: float) -> Tuple[float, float]:
     return same, diff
 
 
+def strip_zero_entries(counts: List[Hap]) -> List[Hap]:
+    """Normalize a block for dedup equality: drop (site, allele)
+    entries whose accumulated weight is exactly 0 (possible only via
+    phred-0 bases), then sites left empty.
+
+    DELIBERATE DEVIATION from the reference: its HapBlock equality
+    (global_clustering.rs:122-127 over types_structs.rs:253 maps)
+    distinguishes an explicit 0-weight entry from an absent one, while
+    the kernel's linear fingerprints (kernels/beam.py _hash_consts)
+    cannot — a presence indicator is not a linear function of per-read
+    contributions, so NO exact linear fingerprint exists for the
+    reference's equality. Scoring already treats the two identically
+    (the all-zero test in dist_eps mirrors utils_frags.rs:696-700), so
+    the normalized equality deduplicates a superset of the reference's
+    duplicates: chains differing only in zero-weight entries are
+    score-equivalent forever and merging them frees a beam slot for a
+    genuinely distinct chain. Pinned by tests/test_phred0_dedup.py."""
+    return [{pos: {a: w for a, w in site.items() if w != 0.0}
+             for pos, site in hap.items()
+             if any(w != 0.0 for w in site.values())}
+            for hap in counts]
+
+
 def beam_search(reads: Sequence[Read], ploidy: int, eps: float,
-                beam_width: int = 10) -> List[int]:
-    """Returns assignment[i] = part of reads[i] (reads pre-sorted)."""
+                beam_width: int = 10,
+                zero_strip: bool = True) -> List[int]:
+    """Returns assignment[i] = part of reads[i] (reads pre-sorted).
+
+    zero_strip=False reproduces the reference's raw dict equality for
+    dedup (see strip_zero_entries); the kernels realize the default
+    normalized equality."""
     # node: (score, uid, parent_node, part, counts)
     root = (0.0, 0, None, None, [dict() for _ in range(ploidy)])
     beam = [root]
@@ -89,15 +117,20 @@ def beam_search(reads: Sequence[Read], ploidy: int, eps: float,
         # dedup identical blocks keeping the WORSE score
         # (global_clustering.rs:122-127 keeps the existing node when its
         # score >= the new one)
+        norm = ((lambda b: strip_zero_entries(b)) if zero_strip
+                else (lambda b: b))
         kept = []
+        kept_norm = []
         for c in cands:
+            c_norm = norm(c[4])
             dup = False
-            for k in kept:
-                if k[4] == c[4] and k[0] >= c[0]:
+            for k, k_norm in zip(kept, kept_norm):
+                if k_norm == c_norm and k[0] >= c[0]:
                     dup = True
                     break
             if not dup:
                 kept.append(c)
+                kept_norm.append(c_norm)
         kept.sort(key=lambda c: (c[0], c[1]))
         beam = kept[:width]
     best = min(beam, key=lambda c: (c[0], c[1]))
