@@ -6,20 +6,24 @@ at several batch sizes G and reports achieved FLOP/s, HBM bandwidth, and
 fraction of v5e peak. The reference work unit being modeled is one read
 insertion into every beam slot (global_clustering.rs:49-147).
 
-Cost model per scan step (one read into one instance), hist impl,
-ploidy P, beam slots B (warm: P*W in/out; main: W out), A alleles,
-R reads, window Wn (== S when windowing is off):
+Cost model per scan step (one read into one instance), hist impl
+with EXACT f32 PLANE-PAIR arithmetic (round 5, kernels/beam.py: two
+13-bit weight-quanta planes, _cmp_planes comparisons — all-f32 big
+tensors, f64 only at [B, P]), ploidy P, beam slots B (warm: P*W
+in/out; main: W out), A alleles, R reads, window Wn (== S when
+windowing is off):
 
   FLOPs:
-    win einsum  bpr,raw->bpaw : 2*B*P*R*A*Wn        (the dominant term)
-    scoring (max/eq/sums over win): ~6*B*P*A*Wn
+    win einsums bpr,raw->bpaw x2: 4*B*P*R*A*Wn      (the dominant term)
+    scoring (at/empty/cmp/masks over plane pair): ~12*B*P*A*Wn
     newhist gather bB,BPR->bPR: 2*out*B*P*R
     rank-select pairwise       : ~3*(B*P)^2
     dedup (2 fp)               : ~4*B*P*R
   HBM bytes (f32):
-    wa read  : 4*R*A*Wn   (read every step)
+    wa_hi+wa_lo read : 8*R*A*Wn   (read every step)
     hist r/w : 2*4*B*P*R
-    win write+readback (if not fused): 2*4*B*P*A*Wn  [upper bound]
+    win plane pair write+readback (if not fused): 4*4*B*P*A*Wn
+    [upper bound]
 
 Usage:  python scripts/mfu.py            (TPU; measures G sweep)
         python scripts/mfu.py --model    (print the analytic table only)
@@ -44,8 +48,8 @@ HBM_BW = 819e9
 
 
 def step_flops(B, P, R, A, Wn, out):
-    win = 2.0 * B * P * R * A * Wn
-    score = 6.0 * B * P * A * Wn
+    win = 4.0 * B * P * R * A * Wn          # two plane einsums
+    score = 12.0 * B * P * A * Wn           # plane-pair cmp/masks
     gather = 2.0 * out * B * P * R
     rank = 3.0 * (B * P) ** 2
     dedup = 4.0 * B * P * R
@@ -53,9 +57,9 @@ def step_flops(B, P, R, A, Wn, out):
 
 
 def step_bytes(B, P, R, A, Wn, out):
-    wa = 4.0 * R * A * Wn
+    wa = 8.0 * R * A * Wn                   # two f32 plane tensors
     hist = 2 * 4.0 * B * P * R
-    win_rw = 2 * 4.0 * B * P * A * Wn
+    win_rw = 4 * 4.0 * B * P * A * Wn       # plane pair, write+read
     return wa + hist + win_rw
 
 

@@ -371,3 +371,68 @@ def test_sweep_cap_auto_probe(monkeypatch):
     cap = L._probe_link_cap()
     assert cap in (L._SWEEP_CAP_CELLS, L._SWEEP_CAP_CELLS_LOCAL)
     assert L._probe_link_cap() is L._probed_cap
+
+
+def test_plane_fast_path_equals_f64_fallback(monkeypatch):
+    """The all-f32 plane-pair fast path (R <= _R_CHUNK) and the
+    combined-f64 fallback (R > _R_CHUNK) must compute bit-identical
+    results — both are realizations of the same exact integer-quanta
+    arithmetic (kernels/beam.py _step_hist). Forcing _R_CHUNK tiny
+    routes a normal-sized instance through the fallback (with real
+    R-chunked plane matmuls) for a direct A/B; the distinctive shape
+    avoids jit-cache collisions with fast-path traces."""
+    import floria_tpu.kernels.upem_batch as upem_batch
+    from floria_tpu.kernels.upem_batch import upem_eval_batch
+
+    rng = np.random.default_rng(123)
+    frags = _random_frags(rng, 52, 33, 3)
+    bt = pack_block(frags, (1, 33))
+    alleles = bt.alleles[None]
+    weights = bt.weights[None]
+    nr = np.array([bt.num_reads], dtype=np.int32)
+    eps = np.array([0.03], dtype=np.float32)
+
+    def run_beam():
+        res = beam_kernel.beam_search_batch(
+            alleles, weights, nr, eps, ploidy=3, beam_width=10)
+        return [np.asarray(a) for a in res]
+
+    def run_upem():
+        R = alleles.shape[1]
+        assign = np.arange(R, dtype=np.int32)[None] % 3
+        return [np.asarray(a) for a in upem_eval_batch(
+            alleles, weights, assign, eps, 3)]
+
+    fast_beam, fast_upem = run_beam(), run_upem()
+    monkeypatch.setattr(beam_kernel, "_R_CHUNK", 16)
+    monkeypatch.setattr(upem_batch, "_R_CHUNK", 16)
+    # New shapes force a retrace; same shapes would reuse the cached
+    # fast-path executable, so pad by one row to mint fresh variants.
+    alleles = np.concatenate([alleles, alleles[:, :1]], axis=1)
+    weights = np.concatenate([weights, weights[:, :1]], axis=1)
+    weights[:, -1] = 0.0
+    alleles[:, -1] = -1
+    slow_beam = [np.asarray(a) for a in beam_kernel.beam_search_batch(
+        alleles, weights, nr, eps, ploidy=3, beam_width=10)]
+    R = alleles.shape[1]
+    assign = np.arange(R, dtype=np.int32)[None] % 3
+    slow_upem = [np.asarray(a) for a in upem_eval_batch(
+        alleles, weights, assign, eps, 3)]
+
+    # Beam: compare per-read traceback records over the real reads
+    # (the padding row adds one identity record).
+    for f, s, name in ((fast_beam[0], slow_beam[0], "warm_parents"),
+                       (fast_beam[1], slow_beam[1], "warm_parts"),
+                       (fast_beam[4], slow_beam[4], "scores"),
+                       (fast_beam[5], slow_beam[5], "live")):
+        np.testing.assert_array_equal(f, s, err_msg=name)
+    np.testing.assert_array_equal(fast_beam[2],
+                                  slow_beam[2][:, :-1] if
+                                  slow_beam[2].shape[1] ==
+                                  fast_beam[2].shape[1] + 1
+                                  else slow_beam[2])
+    # UPEM: diff on real rows, score, mec must match bitwise.
+    np.testing.assert_array_equal(fast_upem[0],
+                                  slow_upem[0][:, :-1])
+    np.testing.assert_array_equal(fast_upem[1], slow_upem[1])
+    np.testing.assert_array_equal(fast_upem[2], slow_upem[2])
