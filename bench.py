@@ -354,6 +354,11 @@ def _check_stage_regressions(result):
 def main():
     quick = "--quick" in sys.argv
     skip_e2e = "--no-e2e" in sys.argv
+    # Snapshot BEFORE any device work: measure_kernel's own compiles
+    # populate the cache, so reading the count later would mislabel a
+    # first-contact e2e run as warm (seen in the round-5 run-1 log:
+    # phase.launch 531s yet labeled warm-cache).
+    cache_entries_at_start = _xla_cache_entries()
 
     G, R, S = (8, 64, 128) if quick else (32, 256, 256)
     args = make_workload(G, R, S)
@@ -398,7 +403,7 @@ def main():
             result["baseline_realshape_reads_per_sec"] = round(
                 real_base, 1)
     if not skip_e2e:
-        cache_entries = _xla_cache_entries()
+        cache_entries = cache_entries_at_start
         runs = measure_e2e(quick, repeat=not quick)
         e2e_rps, e2e_s, e2e_reads, e2e_stages = runs[0]
         result["e2e_reads_per_sec"] = round(e2e_rps, 1)

@@ -85,7 +85,14 @@ class Options:
         # reference's own auto-estimator quantizes epsilon to 1/500
         # pileup steps, file_reader.rs:749-826). See VALIDATION.md
         # "Exact arithmetic".
-        self.epsilon = round(self.epsilon * 67108864.0) / 67108864.0
+        # Near-zero epsilon (< 2^-27) would quantize to exactly 0 and
+        # put log(eps) = -inf into the binomial tail; clamp to one
+        # quantum instead so "no sequencing error" inputs degrade
+        # gracefully (tests/test_robustness.py eps0) while validate()
+        # keeps the strict eps > 0 kernel precondition.
+        if self.epsilon >= 0.0:
+            self.epsilon = max(round(self.epsilon * 67108864.0), 1) \
+                / 67108864.0
 
     def validate(self) -> None:
         if not (0.0 < self.epsilon < 0.25):
