@@ -179,7 +179,7 @@ def beam_search_batch_mixed(alleles, weights, num_reads, epsilon,
                             beam_width: int,
                             max_alleles: int = constants.MAX_ALLELES,
                             window: int = 0, dedup: bool = True,
-                            impl: str = "hist") -> BeamResult:
+                            impl: str = "auto") -> BeamResult:
     """x64-entering public wrapper; see _beam_search_batch_mixed_jit
     for semantics. Safe to call from inside an already-x64 trace (the
     fused sweep chain) — re-entering the context is a no-op."""
@@ -198,7 +198,7 @@ def _beam_search_batch_mixed_jit(alleles: jax.Array, weights: jax.Array,
                             beam_width: int,
                             max_alleles: int = constants.MAX_ALLELES,
                             window: int = 0, dedup: bool = True,
-                            impl: str = "hist") -> BeamResult:
+                            impl: str = "auto") -> BeamResult:
     """Mixed-ploidy batch: each instance phases into its own number of
     parts (num_parts[g] <= max_ploidy); inactive parts are masked out of
     scoring, pruning, and candidate selection, so one dispatch covers a
@@ -206,15 +206,26 @@ def _beam_search_batch_mixed_jit(alleles: jax.Array, weights: jax.Array,
     per-instance warmup widths of num_parts * beam_width
     (global_clustering.rs:50-55).
 
-    impl: "hist" (default) carries the assignment-history state and
-    reconstructs window counts by matmul (fastest on TPU — the counts
-    permutation was bandwidth-bound); "counts" carries the materialized
-    count tensor. Both produce identical results."""
+    impl selects the (bit-identical) state representation:
+      "planes" — persistent f32 13-bit count-plane pair permuted by
+        one-hot matmul (production for R <= _R_CHUNK: the hist path's
+        per-step full-R weight-plane reread measured 60-85% of v5e HBM
+        bandwidth at the real e2e block shape, round-5 probes);
+      "hist"   — assignment-history state, window counts reconstructed
+        by full-R matmuls each step (handles any R: falls back to
+        combined-f64 planes past _R_CHUNK);
+      "counts" — materialized f64 quanta counts (the reference-shaped
+        oracle twin, slow on v5e's emulated f64);
+      "auto"   — "planes" when R <= _R_CHUNK else "hist"."""
+    R = alleles.shape[-2]
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
-    single = (_beam_search_single_hist if impl == "hist"
-              else _beam_search_single)
+    if impl == "auto":
+        impl = "planes" if R <= _R_CHUNK else "hist"
+    single = {"hist": _beam_search_single_hist,
+              "planes": _beam_search_single_planes,
+              "counts": _beam_search_single}[impl]
     fn = jax.vmap(functools.partial(
         single, ploidy=max_ploidy, beam_width=beam_width,
         max_alleles=max_alleles, window=window, dedup=dedup))
@@ -332,7 +343,7 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, wq_t, oh_t,
     if window < S:
         neww = jnp.where(valid, neww,
                          jax.lax.dynamic_slice(
-                             base, (0, 0, 0, off_t),
+                             base, (_z(), _z(), _z(), off_t),
                              (out_slots, P, A, window)))
         counts_out = jax.lax.dynamic_update_slice(
             base, neww, (_z(), _z(), _z(), off_t))
@@ -351,7 +362,7 @@ def _step(counts, qstate, score, live, t, off_t, a_cov, wq_t, oh_t,
         if window < S:
             newq = jnp.where(valid, newq,
                              jax.lax.dynamic_slice(
-                                 qbase, (0, 0, 0, off_t),
+                                 qbase, (_z(), _z(), _z(), off_t),
                                  (out_slots, P, F, window)))
             qstate_out = jax.lax.dynamic_update_slice(
                 qbase, newq, (_z(), _z(), _z(), off_t))
@@ -407,6 +418,19 @@ _INV_WEIGHT_SCALE = 1.0 / (1 << 26)
 _R_CHUNK = 2048
 _PLANE_SPLIT = 8192.0      # 2^13: quanta = hi * 2^13 + lo
 
+# MXU precision for the 0/1-by-13-bit-plane matmuls. TPU's DEFAULT f32
+# dot is a SINGLE bf16 pass (8 significand bits), which silently
+# truncates the 13-bit planes — measured inexact on v5e (round 5; the
+# CPU backend is always exact, so only an on-device test can catch it).
+# HIGH (the 3-pass bf16 decomposition lhs_hi*rhs_hi + lhs_hi*rhs_lo +
+# lhs_lo*rhs_hi) is exact here BY CONSTRUCTION: the 0/1 operand fits a
+# single bf16 term (its lo-half is 0, so the dropped lo*lo term
+# vanishes) and a 13-bit integer splits exactly across a bf16 pair's
+# 16 significand bits; f32 accumulation of the exact products stays
+# < 2^24 by the _R_CHUNK bound. One-hot permutations of full 24-bit
+# counts (_step_planes) need HIGHEST instead (24 > 16 bits).
+_PLANE_MM_PRECISION = jax.lax.Precision.HIGH
+
 
 def _int_weights(weights):
     """weights * 2^26 as exact uint32 (see _WEIGHT_SCALE)."""
@@ -435,9 +459,11 @@ def _window_counts_q(hist, wa_hi, wa_lo):
         r1 = min(r0 + _R_CHUNK, R)
         h = hist[:, :, r0:r1]
         hi = jnp.einsum("bpr,raw->bpaw", h, wa_hi[r0:r1],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
         lo = jnp.einsum("bpr,raw->bpaw", h, wa_lo[r0:r1],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
         part = hi.astype(f64) * _PLANE_SPLIT + lo.astype(f64)
         out = part if out is None else out + part
     return out
@@ -455,9 +481,11 @@ def _window_counts_planes(hist, wa_hi, wa_lo):
     _plane_pair_sum."""
     assert hist.shape[2] <= _R_CHUNK
     hi = jnp.einsum("bpr,raw->bpaw", hist, wa_hi,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_PLANE_MM_PRECISION)
     lo = jnp.einsum("bpr,raw->bpaw", hist, wa_lo,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_PLANE_MM_PRECISION)
     return hi, lo
 
 
@@ -716,6 +744,253 @@ def _step_hist(hist, score, live, t, off_t, start_t, a_cov, wq_t, oh_t,
                            jnp.arange(out_slots)).astype(jnp.int32)
     out_part = jnp.where(valid, part, -1).astype(jnp.int32)
     return hist_out, score_out, live_out, out_parent, out_part
+
+
+def _step_planes(hist, cnt, score, live, t, off_t, start_t,
+                 a_cov, wq_t, oh_t, zs, num_reads, eps64, epsq, width,
+                 ploidy, out_slots, window, gs, part_active=None,
+                 dedup=True):
+    """Materialized-count-plane twin of _step_hist: the beam state keeps
+    the window counts as a PERSISTENT f32 13-bit plane pair, fused as
+    cnt [B, P, 2A, S] (channels [:A] the hi planes, [A:] the lo planes;
+    value = hi * 2^13 + lo, every entry an exact integer-valued f32 —
+    full-R sums stay < 2^24 for R <= _R_CHUNK), permuted by a one-hot
+    MXU matmul each step and updated with the new read's row planes,
+    instead of reconstructing them from the assignment history by
+    full-R matmuls. Fusing the pair into one tensor halves the per-step
+    count of big-state ops (one slice / permutation / update / write
+    instead of two).
+
+    Why: the hist reconstruction streams the whole [R, A, Wn] weight-
+    plane pair from HBM EVERY step — O(R^2 * A * Wn) bytes per scan,
+    measured 84 MB/step = ~60-85% of HBM bandwidth at the real e2e
+    block shape (G=8, R=320, S=2048; round-5 probes). The plane state
+    is ~30x smaller per step (B*P*A*Wn * 8 B ~ 2.7 MB rw), so carrying
+    it beats recomputing it whenever R is large — the round-3 reverse
+    conclusion ("the counts permutation was bandwidth-bound") was
+    measured on B1-slot f64 counts, twice the bytes on four times the
+    slots. Bit-identical to _step_hist BY CONSTRUCTION: both compute
+    the same exact integers, merely re-associated (order-free — see
+    _step_hist's exact-arithmetic note), and the one-hot permutation
+    matmul sums exactly one nonzero product per output element.
+
+    The permutation touches only the `window` columns (the _step
+    pattern): columns behind every later window are never read again,
+    so leaving them un-permuted (stale relative to slot order) is
+    unobservable; columns ahead of the frontier are all-zero in every
+    slot. Dedup still runs on the hist state's suffix-hash
+    fingerprints, so hist [B, P, R] is carried too (cheap: ~0.5 MB/step
+    vs the count planes' traffic)."""
+    B, P, R = hist.shape
+    A = cnt.shape[2] // 2
+    f64 = jnp.float64
+    cutoff = jnp.asarray(math.log(constants.PROB_CUTOFF), f64)
+    div = jnp.asarray(constants.DIV_FACTOR, f64)
+    valid = t < num_reads
+    S = cnt.shape[3]
+
+    if window < S:
+        win = jax.lax.dynamic_slice(cnt, (_z(), _z(), _z(), off_t),
+                                    (B, P, 2 * A, window))
+        a_cov_w = jax.lax.dynamic_slice(a_cov, (off_t,), (window,))
+        wq_w = jax.lax.dynamic_slice(wq_t, (off_t,), (window,))
+        oh_w = jax.lax.dynamic_slice(oh_t, (_z(), off_t), (A, window))
+    else:
+        win = cnt
+        a_cov_w, wq_w, oh_w = a_cov, wq_t, oh_t
+    win_hi = win[:, :, :A]
+    win_lo = win[:, :, A:]
+
+    cov = a_cov_w[None, None, :]
+    # Scoring: identical to _step_hist's fast path (exact f32 plane-pair
+    # arithmetic; f64 only at [B, P]).
+    ohf = oh_w[None, None]                              # [1, 1, A, Wn]
+    at_hi = (win_hi * ohf).sum(axis=2)                  # [B, P, Wn]
+    at_lo = (win_lo * ohf).sum(axis=2)
+    empty = (win_hi.sum(axis=2) + win_lo.sum(axis=2)) == 0.0
+    lt = _cmp_planes(at_hi[:, :, None] - win_hi,
+                     at_lo[:, :, None] - win_lo) < 0.0
+    lt_any = lt.any(axis=2)                             # [B, P, Wn]
+    wq_hi_w = jnp.floor(wq_w * jnp.float32(1.0 / _PLANE_SPLIT))
+    wq_lo_w = wq_w - wq_hi_w * jnp.float32(_PLANE_SPLIT)
+    same_q = _plane_pair_sum(cov & ~empty & ~lt_any,
+                             wq_hi_w, wq_lo_w)          # [B, P] f64
+    diff_q = (_plane_pair_sum(cov & ~empty & lt_any,
+                              wq_hi_w, wq_lo_w)
+              + epsq * (cov & empty).sum(
+                  -1, dtype=jnp.float32).astype(f64))
+    same = same_q * _INV_WEIGHT_SCALE
+    diff = diff_q * _INV_WEIGHT_SCALE
+    pval = binom_tail_jnp(same + diff, diff, eps64, div)    # [B, P]
+    if part_active is not None:
+        pval = jnp.where(part_active[None, :], pval, -jnp.inf)
+    lse = log_sum_exp_jnp(pval, axis=-1)                    # [B]
+    keep = (pval - lse[:, None]) > cutoff
+    if part_active is not None:
+        keep = keep & part_active[None, :]
+    cand = jnp.where(keep & live[:, None],
+                     score[:, None] + diff_q, INF)          # [B, P]
+
+    if dedup:
+        # Identical hist-based fingerprint dedup (see _step_hist).
+        h_list = []
+        hmask = hist != 0
+        zero = jnp.zeros((), jnp.uint32)
+        for z, gp in zip(zs, gs):
+            zt = jax.lax.dynamic_slice(z, (start_t, jnp.int32(0)),
+                                       (1, R))[0]
+            ph = jnp.where(hmask, zt[None, None, :], zero).sum(
+                axis=-1, dtype=jnp.uint32)                   # [B, P]
+            rc = zt[t]
+            h_list.append(((ph * gp[None, :]).sum(axis=-1)[:, None]
+                           + gp[None, :] * rc).reshape(B * P))
+        flat = cand.reshape(B * P)
+        gen = jnp.arange(B * P)
+        finite = jnp.isfinite(flat)
+        eq = functools.reduce(
+            jnp.logical_and,
+            [(h[:, None] == h[None, :]) for h in h_list])
+        dup = (eq & (gen[None, :] < gen[:, None]) & finite[None, :]
+               & (flat[None, :] >= flat[:, None]))
+        cand = jnp.where(dup.any(axis=1).reshape(B, P), INF, cand)
+
+    sel_score, gather_oh, part_oh, parent, part = _rank_select(
+        cand, out_slots)
+    new_live = (jnp.arange(out_slots) < width) & (sel_score < _BIG_CUT)
+
+    # hist follows the selection (dedup fingerprints need it).
+    newhist = jnp.einsum("bB,BPR->bPR", gather_oh, hist,
+                         preferred_element_type=jnp.float32)
+    t_oh = (jnp.arange(R) == t).astype(jnp.float32)         # [R]
+    newhist = newhist + part_oh[:, :, None] * t_oh[None, None, :]
+    new_score = jnp.where(new_live, sel_score, INF)
+
+    # Count-plane permutation + read insertion, window columns only.
+    # One-hot matmul: exactly one nonzero product per output element,
+    # so it is exact for the integer-valued planes (no summation) — but
+    # ONLY at full f32 multiply precision. TPU's default f32 dot is a
+    # SINGLE bf16 pass (8 significand bits) and even HIGH's 3-pass
+    # decomposition keeps only 16 bits of each operand; plane values
+    # reach 2^24, so HIGHEST is required (measured: default precision
+    # silently corrupted the permuted counts on v5e while CPU stayed
+    # exact; HIGHEST also measured faster than a gather lowering).
+    # Window-count einsums elsewhere are exact at HIGH because their
+    # value operand is < 2^13 (_PLANE_MM_PRECISION note).
+    nw = jnp.einsum("oB,BPXW->oPXW", gather_oh, win,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    row = jnp.concatenate([oh_w * wq_hi_w[None, :],
+                           oh_w * wq_lo_w[None, :]], axis=0)  # [2A, Wn]
+    nw = nw + part_oh[:, :, None, None] * row[None, None]
+
+    base = cnt if out_slots == B else cnt[:out_slots]
+    if window < S:
+        nw = jnp.where(valid, nw,
+                       jax.lax.dynamic_slice(
+                           base, (_z(), _z(), _z(), off_t),
+                           (out_slots, P, 2 * A, window)))
+        cnt_out = jax.lax.dynamic_update_slice(
+            base, nw, (_z(), _z(), _z(), off_t))
+    else:
+        cnt_out = jnp.where(valid, nw, base)
+
+    hist_out = jnp.where(valid, newhist,
+                         hist if out_slots == B else hist[:out_slots])
+    score_out = jnp.where(valid, new_score,
+                          score if out_slots == B else score[:out_slots])
+    live_out = jnp.where(valid, new_live,
+                         live if out_slots == B else live[:out_slots])
+    out_parent = jnp.where(valid, parent,
+                           jnp.arange(out_slots)).astype(jnp.int32)
+    out_part = jnp.where(valid, part, -1).astype(jnp.int32)
+    return hist_out, cnt_out, score_out, live_out, \
+        out_parent, out_part
+
+
+def _beam_search_single_planes(alleles, weights, num_reads, epsilon,
+                               num_parts=None, *, ploidy, beam_width,
+                               max_alleles, window=0, dedup=True):
+    """Scan wiring for _step_planes — see _beam_search_single_hist for
+    the shared structure (same phases, records, and return shape)."""
+    R, S = alleles.shape
+    P = ploidy
+    A = max_alleles
+    B1 = ploidy * beam_width
+    W = beam_width
+    rec_dt = jnp.int8 if B1 <= 127 else jnp.int16
+    if window <= 0 or window > S:
+        window = S
+    _require_x64()
+    eps64 = epsilon.astype(jnp.float64)
+    epsq = jnp.round(eps64 * _WEIGHT_SCALE)
+    if num_parts is None:
+        part_active = None
+        warm_width = B1
+    else:
+        part_active = jnp.arange(P) < num_parts
+        warm_width = num_parts * W
+
+    covered_all = alleles >= 0
+    oh_all = (alleles[:, None, :] == jnp.arange(A, dtype=alleles.dtype)[
+        None, :, None]).astype(jnp.float32)
+    offs = _window_offsets(covered_all, S, window)
+    starts = _read_starts(covered_all, S)
+    vs, gs = _hash_consts(A, S, P)
+    wq = weights * jnp.float32(_WEIGHT_SCALE)   # exact f32 int quanta
+    zs = [_suffix_hash(weights, oh_all, v) for v in vs]
+
+    hist = jnp.zeros((B1, P, R), dtype=jnp.float32)
+    cnt = jnp.zeros((B1, P, 2 * A, S), dtype=jnp.float32)
+    score = jnp.where(jnp.arange(B1) == 0, 0.0, jnp.inf).astype(
+        jnp.float64)
+    live = jnp.arange(B1) == 0
+
+    T1 = min(constants.BEAM_WARMUP_READS, R)
+
+    def make_step(width, out_slots):
+        def step_fn(state, xs):
+            hist, cnt, score, live = state
+            t, off_t, st_t, a_cov, wq_t, oh_t = xs
+            hist, cnt, score, live, parent, part = _step_planes(
+                hist, cnt, score, live, t, off_t, st_t,
+                a_cov, wq_t, oh_t, zs, num_reads, eps64, epsq,
+                width=width, ploidy=P, out_slots=out_slots,
+                window=window, gs=gs, part_active=part_active,
+                dedup=dedup)
+            return ((hist, cnt, score, live),
+                    (parent.astype(rec_dt), part.astype(rec_dt)))
+        return step_fn
+
+    ts = jnp.arange(R, dtype=jnp.int32)
+    ((hist, cnt, score, live),
+     (warm_parents, warm_parts)) = jax.lax.scan(
+        make_step(warm_width, B1), (hist, cnt, score, live),
+        (ts[:T1], offs[:T1], starts[:T1], covered_all[:T1],
+         wq[:T1], oh_all[:T1]), unroll=_SCAN_UNROLL)
+
+    if R <= T1:
+        empty = jnp.zeros((0, W), dtype=rec_dt)
+        return (warm_parents, warm_parts, empty, empty, score, live)
+
+    hist, cnt, score, live, tr_parent, tr_part = _step_planes(
+        hist, cnt, score, live, jnp.int32(T1), offs[T1],
+        starts[T1], covered_all[T1], wq[T1], oh_all[T1], zs,
+        num_reads, eps64, epsq, width=W, ploidy=P, out_slots=W,
+        window=window, gs=gs, part_active=part_active, dedup=dedup)
+    tr_parent = tr_parent.astype(rec_dt)
+    tr_part = tr_part.astype(rec_dt)
+
+    ((hist, cnt, score, live),
+     (m_parents, m_parts)) = jax.lax.scan(
+        make_step(W, W), (hist, cnt, score, live),
+        (ts[T1 + 1:], offs[T1 + 1:], starts[T1 + 1:],
+         covered_all[T1 + 1:], wq[T1 + 1:], oh_all[T1 + 1:]),
+        unroll=_SCAN_UNROLL)
+
+    main_parents = jnp.concatenate([tr_parent[None], m_parents], axis=0)
+    main_parts = jnp.concatenate([tr_part[None], m_parts], axis=0)
+    return (warm_parents, warm_parts, main_parents, main_parts, score,
+            live)
 
 
 def _suffix_hash(weights, oh_all, h):

@@ -22,8 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from .beam import (_require_x64, _PLANE_SPLIT, _R_CHUNK, _WEIGHT_SCALE,
-                   _INV_WEIGHT_SCALE, _cmp_planes)
+from .beam import (_require_x64, _PLANE_SPLIT, _PLANE_MM_PRECISION,
+                   _R_CHUNK, _WEIGHT_SCALE, _INV_WEIGHT_SCALE,
+                   _cmp_planes)
 
 
 def _chunked_exact_einsum(spec, lhs, rhs_hi, rhs_lo, axis_len):
@@ -35,9 +36,11 @@ def _chunked_exact_einsum(spec, lhs, rhs_hi, rhs_lo, axis_len):
         r1 = min(r0 + _R_CHUNK, axis_len)
         li = lhs[:, r0:r1]
         hi = jnp.einsum(spec, li, rhs_hi[:, r0:r1],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
         lo = jnp.einsum(spec, li, rhs_lo[:, r0:r1],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
         part = hi.astype(jnp.float64) * _PLANE_SPLIT + lo.astype(
             jnp.float64)
         out = part if out is None else out + part
@@ -91,11 +94,13 @@ def _eval_diff_score(alleles, weights, assign, epsilon, ploidy,
         # diff/score to the fallback below.
         counts_hi = jnp.stack(
             [jnp.einsum("grp,grs->gps", assign_oh, wa,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
              for wa in wa_hi_list], axis=1)        # [G, A, P, S] f32
         counts_lo = jnp.stack(
             [jnp.einsum("grp,grs->gps", assign_oh, wa,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_PLANE_MM_PRECISION)
              for wa in wa_lo_list], axis=1)
         # Per-allele counts partition a part's reads, so the A-axis
         # sums stay < R * 2^13 <= 2^24 and remain exact f32 integers.
@@ -148,10 +153,12 @@ def _eval_diff_score(alleles, weights, assign, epsilon, ploidy,
             s1 = min(s0 + _R_CHUNK, S)
             hi = jnp.einsum("grs,gps->grp",
                             wa_hi_list[a][:, :, s0:s1], lt[:, :, s0:s1],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_PLANE_MM_PRECISION)
             lo = jnp.einsum("grs,gps->grp",
                             wa_lo_list[a][:, :, s0:s1], lt[:, :, s0:s1],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=_PLANE_MM_PRECISION)
             part = hi.astype(f64) * _PLANE_SPLIT + lo.astype(f64)
             out = part if out is None else out + part
         diff = diff + out

@@ -436,3 +436,47 @@ def test_plane_fast_path_equals_f64_fallback(monkeypatch):
                                   slow_upem[0][:, :-1])
     np.testing.assert_array_equal(fast_upem[1], slow_upem[1])
     np.testing.assert_array_equal(fast_upem[2], slow_upem[2])
+
+
+def test_state_impls_bitwise_equal():
+    """The three beam state representations — "planes" (persistent
+    count-plane pair, production for R <= _R_CHUNK), "hist"
+    (history-state reconstruction), and "counts" (materialized f64
+    quanta) — are realizations of the same exact integer arithmetic and
+    must return bit-identical results, mixed ploidies, dedup on,
+    windowed and full-S (kernels/beam.py _step_planes)."""
+    rng = np.random.default_rng(2025)
+    G = 4
+    S = 160
+    packs = []
+    for g in range(G):
+        frags = _random_frags(rng, 40 + 8 * g, S, 2 + g % 3)
+        packs.append(pack_block(frags, (1, S)))
+    R = max(p.alleles.shape[0] for p in packs)
+    alleles = np.full((G, R, S), -1, dtype=np.int8)
+    weights = np.zeros((G, R, S), dtype=np.float32)
+    for g, p in enumerate(packs):
+        r, s = p.alleles.shape
+        alleles[g, :r, :s] = p.alleles
+        weights[g, :r, :s] = p.weights
+    nr = np.array([p.num_reads for p in packs], dtype=np.int32)
+    eps = np.full(G, 0.02, dtype=np.float32)
+    nparts = np.array([2, 3, 4, 5], dtype=np.int32)
+
+    # window must be >= read span + 128 (beam_search_batch contract);
+    # _random_frags spans 12 columns, so 144 is a valid narrow window.
+    for window in (0, 144):
+        outs = {}
+        for impl in ("planes", "hist", "counts"):
+            outs[impl] = [np.asarray(a)
+                          for a in beam_kernel.beam_search_batch_mixed(
+                              alleles, weights, nr, eps, nparts, 5, 10,
+                              max_alleles=2, window=window, impl=impl)]
+        for impl in ("hist", "counts"):
+            for a, b, name in zip(outs["planes"], outs[impl],
+                                  ("warm_parents", "warm_parts",
+                                   "main_parents", "main_parts",
+                                   "scores", "live")):
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{impl} vs planes: {name} "
+                    f"(window={window})")
