@@ -79,7 +79,14 @@ INF = float("inf")
 # Loop-overhead amortization for the per-read scans; read insertion is
 # inherently sequential, unrolling only trades code size for dispatch
 # overhead.
-_SCAN_UNROLL = 4
+# Re-decided round 5 on the planes kernel: unroll=1 measured FASTER
+# than 4 (0.315 s vs 0.347 s, G=8 R=320 S=2048 full sweep; unroll=2
+# equal to 1) AND quarters the compiled executable (~22 MB -> ~6 MB
+# per sweep-chain variant), which is what a fresh process actually
+# loads through the remote tunnel at cold start (measured 5-21 s per
+# persistent-cache HIT on 22 MB blobs — executable load, not compile,
+# dominates fresh-process cold on remote-attached chips).
+_SCAN_UNROLL = 1
 
 # Finite stand-in for INF during candidate ranking (cumulative MEC
 # scores are bounded by the total phred weight, orders of magnitude

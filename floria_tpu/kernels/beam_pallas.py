@@ -24,6 +24,20 @@ read order). The same/diff reductions over S may differ from XLA's in
 final-ulp rounding (different reduction trees); assignment-level
 equality vs the XLA kernel and the host oracle is what the tests pin
 — the same contract the two XLA impls already share.
+
+ROUND-5 ABLATION STATUS (kept as a documented experiment, not
+production): the round-4 blocker "summation order pins f32 rounding"
+is GONE — the exact-arithmetic rework makes every comparison-feeding
+sum an order-free integer — but a new, harder blocker replaced it:
+the binomial-tail / log-sum-exp prune is computed in f64 on [B, P]
+(the only transcendental in the scan), and Mosaic has no f64 support
+(probed on v5e this round: remote compile rejects f64 kernels). A
+Pallas scan computing that part in f32 would break the pinned
+TPU==CPU byte-identity of outputs. Production instead adopted the
+impl="planes" XLA kernel (beam.py _step_planes): count planes carried
+as persistent state, 1.4x the exact-hist path at the real e2e shape.
+This file's interpret-mode equality tests still pin the round-4
+semantics it implements (pre-planes counts layout).
 """
 
 from __future__ import annotations
