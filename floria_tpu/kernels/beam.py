@@ -223,13 +223,20 @@ def _beam_search_batch_mixed_jit(alleles: jax.Array, weights: jax.Array,
         combined-f64 planes past _R_CHUNK);
       "counts" — materialized f64 quanta counts (the reference-shaped
         oracle twin, slow on v5e's emulated f64);
-      "auto"   — "planes" when R <= _R_CHUNK else "hist"."""
+      "auto"   — "planes" when R <= _R_CHUNK on an accelerator
+        backend, else "hist". Measured (round 5): planes 1.4x faster
+        than hist on v5e at the real e2e shape, but hist 1.3x faster
+        than planes on the CPU backend (XLA:CPU matmuls beat its
+        gather/select permutation lowering), so the choice follows the
+        process default backend at trace time (dispatches always
+        target it; both impls are bitwise-equal either way)."""
     R = alleles.shape[-2]
     S = alleles.shape[-1]
     if window <= 0 or window >= S:
         window = S
     if impl == "auto":
-        impl = "planes" if R <= _R_CHUNK else "hist"
+        on_cpu = jax.default_backend() == "cpu"
+        impl = "planes" if (R <= _R_CHUNK and not on_cpu) else "hist"
     single = {"hist": _beam_search_single_hist,
               "planes": _beam_search_single_planes,
               "counts": _beam_search_single}[impl]

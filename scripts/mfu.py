@@ -1,29 +1,42 @@
-"""MFU / roofline accounting for the beam kernel (VERDICT r2 #3).
+"""MFU / roofline accounting for the beam kernel (VERDICT r2 #3, re-
+grounded round 5 on the EXACT planes kernel).
 
-Counts FLOPs and HBM bytes per _step_hist (kernels/beam.py) analytically
-from the dispatch shape, then measures the production mixed-ploidy sweep
-at several batch sizes G and reports achieved FLOP/s, HBM bandwidth, and
-fraction of v5e peak. The reference work unit being modeled is one read
+Counts FLOPs and HBM bytes per _step_planes (kernels/beam.py, the
+production impl for R <= _R_CHUNK) analytically from the dispatch
+shape, then measures the production mixed-ploidy sweep at several
+batch sizes G and reports achieved FLOP/s, HBM bandwidth, and fraction
+of v5e peak. The reference work unit being modeled is one read
 insertion into every beam slot (global_clustering.rs:49-147).
 
-Cost model per scan step (one read into one instance), hist impl
-with EXACT f32 PLANE-PAIR arithmetic (round 5, kernels/beam.py: two
-13-bit weight-quanta planes, _cmp_planes comparisons — all-f32 big
-tensors, f64 only at [B, P]), ploidy P, beam slots B (warm: P*W
-in/out; main: W out), A alleles, R reads, window Wn (== S when
-windowing is off):
+Round-5 cost model (impl=planes, exact arithmetic with explicit MXU
+precisions): the beam state is the persistent f32 count-plane pair
+cnt [B, P, 2A, S]; each step permutes it by a one-hot HIGHEST matmul,
+adds the read's row planes, and scores the read against the window —
+there is NO per-step full-R weight-tensor reread any more (the hist
+impl streamed [R, A, Wn] every step: 60-85% of HBM at the real shape,
+the round-5 probes that motivated the planes rework). Per scan step
+(B slots in, `out` slots out, ploidy P, A alleles, window Wn == S):
 
-  FLOPs:
-    win einsums bpr,raw->bpaw x2: 4*B*P*R*A*Wn      (the dominant term)
-    scoring (at/empty/cmp/masks over plane pair): ~12*B*P*A*Wn
-    newhist gather bB,BPR->bPR: 2*out*B*P*R
-    rank-select pairwise       : ~3*(B*P)^2
-    dedup (2 fp)               : ~4*B*P*R
-  HBM bytes (f32):
-    wa_hi+wa_lo read : 8*R*A*Wn   (read every step)
-    hist r/w : 2*4*B*P*R
-    win plane pair write+readback (if not fused): 4*4*B*P*A*Wn
-    [upper bound]
+  FLOPs (logical; the HIGHEST permutation runs 6 bf16 passes on the
+  MXU, so its hardware FLOPs are ~6x the logical count):
+    permutation einsum : 2*out*B*P*2A*Wn
+    row update         : 2*out*P*2A*Wn
+    scoring (at/empty/cmp/mask reductions over plane pair): ~12*B*P*A*Wn
+    newhist gather     : 2*out*B*P*R
+    rank-select        : ~3*(B*P)^2
+    dedup (2 fp)       : ~4*B*P*R
+  HBM bytes (f32; upper bound — XLA fuses some rereads):
+    cnt window read + permuted write : 4*Wn*2A*P*(B + out)
+    scoring rereads of the window    : ~2 * 4*B*P*2A*Wn
+    hist r/w                         : 2*4*B*P*R
+    read row planes / masks          : ~4*(2A+2)*Wn
+
+The kernel is no longer HBM-streaming-bound: at the real e2e shape the
+measured per-step time (~0.25 ms at G=8) sits near ~100-200 GB/s of
+state traffic — permutation-matmul issue and small-op latency bound.
+The remaining ~3-5x headroom would need the whole scan resident in
+VMEM (the Pallas design), which is blocked on Mosaic's missing f64
+for the binomial-tail prune (kernels/beam_pallas.py round-5 note).
 
 Usage:  python scripts/mfu.py            (TPU; measures G sweep)
         python scripts/mfu.py --model    (print the analytic table only)
@@ -48,19 +61,21 @@ HBM_BW = 819e9
 
 
 def step_flops(B, P, R, A, Wn, out):
-    win = 4.0 * B * P * R * A * Wn          # two plane einsums
-    score = 12.0 * B * P * A * Wn           # plane-pair cmp/masks
+    perm = 2.0 * out * B * P * 2 * A * Wn
+    update = 2.0 * out * P * 2 * A * Wn
+    score = 12.0 * B * P * A * Wn
     gather = 2.0 * out * B * P * R
     rank = 3.0 * (B * P) ** 2
     dedup = 4.0 * B * P * R
-    return win + score + gather + rank + dedup
+    return perm + update + score + gather + rank + dedup
 
 
 def step_bytes(B, P, R, A, Wn, out):
-    wa = 8.0 * R * A * Wn                   # two f32 plane tensors
+    cnt_rw = 4.0 * Wn * 2 * A * P * (B + out)
+    score_rd = 2 * 4.0 * B * P * 2 * A * Wn
     hist = 2 * 4.0 * B * P * R
-    win_rw = 4 * 4.0 * B * P * A * Wn       # plane pair, write+read
-    return wa + hist + win_rw
+    rows = 4.0 * (2 * A + 2) * Wn
+    return cnt_rw + score_rd + hist + rows
 
 
 def sweep_cost(R, S, ploidies, W, A=2, T1=25):
