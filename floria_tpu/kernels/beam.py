@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -235,8 +236,19 @@ def _beam_search_batch_mixed_jit(alleles: jax.Array, weights: jax.Array,
     if window <= 0 or window >= S:
         window = S
     if impl == "auto":
-        on_cpu = jax.default_backend() == "cpu"
-        impl = "planes" if (R <= _R_CHUNK and not on_cpu) else "hist"
+        # FLORIA_BEAM_IMPL forces a representation (deployment tuning /
+        # fuzzing the non-default path on CPU); output-invariant by the
+        # three-impl bitwise-equality test. "planes" still needs the
+        # R <= _R_CHUNK exactness bound, so oversized blocks fall back.
+        forced = os.environ.get("FLORIA_BEAM_IMPL", "").strip()
+        if forced in ("hist", "planes", "counts"):
+            impl = forced
+            if impl == "planes" and R > _R_CHUNK:
+                impl = "hist"
+        else:
+            on_cpu = jax.default_backend() == "cpu"
+            impl = "planes" if (R <= _R_CHUNK and not on_cpu) \
+                else "hist"
     single = {"hist": _beam_search_single_hist,
               "planes": _beam_search_single_planes,
               "counts": _beam_search_single}[impl]
