@@ -5,7 +5,11 @@ Reimplements the reference's per-block beam search
 
 - a beam slot's state is the part-wise allele count tensor [P, A, S]
   (the HapBlock) plus its cumulative MEC score; the SNP axis S is the
-  minor (lane) dimension so tiles map onto the VPU without padding waste;
+  minor (lane) dimension so tiles map onto the VPU without padding
+  waste. Three bitwise-equal state representations exist (impl=
+  "planes"/"hist"/"counts", see _beam_search_batch_mixed_jit); planes
+  — a persistent exact f32 count-plane pair permuted per step — is
+  production on accelerator backends since round 5;
 - one lax.scan step inserts one read: distances of the read against every
   (beam, part) pair are masked reductions over S; the binomial tail +
   log-sum-exp posterior prunes branches; rank-by-counting selection
@@ -468,16 +472,19 @@ def _window_counts_q(hist, wa_hi, wa_lo):
 
     hist [B, P, R] is exactly 0/1 f32; wa_hi/wa_lo [R, A, Wn] are the
     13-bit halves of the per-(read, allele, site) weight quanta
-    (integer-valued f32 < 2^13). Each f32 MXU matmul's read-axis sums
-    stay < 2^24 for R-chunks <= 2048 rows, so every partial product and
-    sum is exact; the halves combine in f64 (exact: quanta < 2^53).
-    Returns [B, P, A, Wn] f64 integer quanta — bit-equal to the
-    reference's f64 per-(site, allele) weight sums in any order.
+    (integer-valued f32 < 2^13). Each HIGH-precision MXU matmul's
+    read-axis sums stay < 2^24 for R-chunks <= 2048 rows, so every
+    partial product and sum is exact (_PLANE_MM_PRECISION); the halves
+    combine in f64 (exact: quanta < 2^53). Returns [B, P, A, Wn] f64
+    integer quanta — bit-equal to the reference's f64 per-(site,
+    allele) weight sums in any order.
 
-    Only the R > _R_CHUNK fallback path uses this (f64 elementwise is
-    ~3x slower on v5e, which emulates f64); blocks with R <= _R_CHUNK
-    take the all-f32 plane-pair path (_window_counts_planes +
-    _cmp_planes), which computes the identical integers."""
+    Only the hist impl's R > _R_CHUNK fallback uses this (f64
+    elementwise is ~3x slower on v5e, which emulates f64); smaller
+    blocks on the hist impl take the all-f32 plane-pair path
+    (_window_counts_planes + _cmp_planes), and the production
+    accelerator path avoids per-step reconstruction entirely
+    (_step_planes) — all computing the identical integers."""
     R = hist.shape[2]
     f64 = jnp.float64
     out = None
